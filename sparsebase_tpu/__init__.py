@@ -1,0 +1,65 @@
+"""sparsebase_tpu — a TPU-native sparse data preprocessing engine.
+
+A ground-up JAX/XLA/Pallas redesign with the capabilities of SparseBase
+(sparcityeu/SparseBase): sparse containers (CSR/COO/CSC/Array) as JAX
+pytrees, a conversion graph, reordering/permutation/partitioning/feature
+ops with auto-converting dispatch, sparse I/O, graph/hypergraph objects,
+an experiment harness — plus mesh-sharded distributed variants the
+reference does not have.
+
+Layer map (mirrors SURVEY.md §1):
+
+    experiment   benchmark harness
+    bases        IOBase / ReorderBase / GraphFeatureBase façades
+    objects, io  Graph/HyperGraph wrappers; MTX/edge-list/binary/METIS/PaToH
+    ops          reorder / permute / partition / feature
+    dispatch     Operation (auto-converting multi-format dispatch)
+    convert      conversion graph + XLA conversion kernels
+    formats      CSR / COO / CSC / DenseArray pytrees
+    context      Host / Device / Mesh placement
+    utils        exceptions, logger, dtype machinery
+    parallel     mesh-sharded formats + distributed ops (TPU-only layer)
+"""
+
+__version__ = "0.1.0"
+
+from . import context, convert, dispatch, formats, utils
+from .context import (
+    CPU_CONTEXT,
+    Context,
+    DeviceContext,
+    HostContext,
+    MeshContext,
+    context_of,
+)
+from .convert import can_convert, convert_cached, register_conversion
+from .convert import convert as convert_format
+from .dispatch import ClassMatcher, Operation
+from .formats import COO, CSC, CSR, Array, DenseArray, Format
+
+__all__ = [
+    "__version__",
+    "formats",
+    "convert",
+    "context",
+    "dispatch",
+    "utils",
+    "Format",
+    "CSR",
+    "COO",
+    "CSC",
+    "DenseArray",
+    "Array",
+    "Context",
+    "HostContext",
+    "DeviceContext",
+    "MeshContext",
+    "CPU_CONTEXT",
+    "context_of",
+    "can_convert",
+    "convert_format",
+    "convert_cached",
+    "register_conversion",
+    "Operation",
+    "ClassMatcher",
+]

@@ -1,0 +1,19 @@
+"""Sparse/dense pytree containers (reference: src/sparsebase/format/)."""
+
+from .array import Array, DenseArray
+from .base import Format, register_format, registered_formats, static_field
+from .coo import COO
+from .csc import CSC
+from .csr import CSR
+
+__all__ = [
+    "Format",
+    "CSR",
+    "COO",
+    "CSC",
+    "DenseArray",
+    "Array",
+    "register_format",
+    "registered_formats",
+    "static_field",
+]

@@ -1,0 +1,107 @@
+"""Dispatch machinery tests (parity: tests/suites/sparsebase/utils/function_matcher_mixin_tests.cc, 349 LoC)."""
+
+import numpy as np
+import pytest
+
+import fixture as fx
+from sparsebase_tpu import COO, CSC, CSR, ClassMatcher, Operation
+from sparsebase_tpu.utils.exceptions import (
+    DirectExecutionNotAvailableError,
+    FunctionNotFoundError,
+)
+
+
+def nnz_of(formats, params):
+    return formats[0].nnz
+
+
+class TestOperation:
+    def test_register_and_execute_exact(self):
+        op = Operation("t")
+        op.register((CSR,), nnz_of)
+        assert op.execute(None, fx.make_csr()) == 4
+
+    def test_register_no_overwrite(self):
+        op = Operation("t")
+        assert op.register((CSR,), nnz_of)
+        assert not op.register((CSR,), lambda f, p: 0, overwrite=False)
+        assert op.execute(None, fx.make_csr()) == 4
+        assert op.register((CSR,), lambda f, p: 0, overwrite=True)
+        assert op.execute(None, fx.make_csr()) == 0
+
+    def test_unregister(self):
+        op = Operation("t")
+        op.register((CSR,), nnz_of)
+        assert op.unregister((CSR,))
+        assert not op.unregister((CSR,))
+        with pytest.raises(FunctionNotFoundError):
+            op.execute(None, fx.make_csr())
+
+    def test_auto_convert(self):
+        op = Operation("t")
+        op.register((CSR,), lambda f, p: np.asarray(f[0].indptr))
+        # COO input should be converted to CSR automatically
+        out = op.execute(None, fx.make_coo())
+        np.testing.assert_array_equal(out, fx.ROW_PTR)
+
+    def test_convert_disabled_raises(self):
+        op = Operation("t")
+        op.register((CSR,), nnz_of)
+        with pytest.raises(DirectExecutionNotAvailableError):
+            op.execute(None, fx.make_coo(), convert_input=False)
+
+    def test_multi_format_key(self):
+        op = Operation("t")
+        op.register((CSR, CSC), lambda f, p: (type(f[0]).__name__, type(f[1]).__name__))
+        # both inputs given as COO; each converts along its own chain
+        out = op.execute(None, fx.make_coo(), fx.make_coo())
+        assert out == ("CSR", "CSC")
+
+    def test_execute_cached_returns_converted(self):
+        op = Operation("t")
+        op.register((CSR,), nnz_of)
+        converted, result = op.execute_cached(None, fx.make_coo())
+        assert result == 4
+        assert isinstance(converted[0], CSR)
+        converted, result = op.execute_cached(None, fx.make_csr())
+        assert converted[0] is None
+
+    def test_prefers_exact_match(self):
+        op = Operation("t")
+        op.register((CSR,), lambda f, p: "csr")
+        op.register((COO,), lambda f, p: "coo")
+        assert op.execute(None, fx.make_coo()) == "coo"
+        assert op.execute(None, fx.make_csr()) == "csr"
+
+    def test_params_passed(self):
+        op = Operation("t")
+        op.register((CSR,), lambda f, p: p["x"] * f[0].nnz)
+        assert op.execute({"x": 3}, fx.make_csr()) == 12
+
+
+class TestClassMatcher:
+    def test_exact_single(self):
+        m = ClassMatcher()
+        m.register(["a"], lambda: "A")
+        m.register(["b"], lambda: "B")
+        assert sorted(m.match(["a", "b"])) == ["A", "B"]
+
+    def test_prefers_fused(self):
+        m = ClassMatcher()
+        m.register(["a"], lambda: "A")
+        m.register(["b"], lambda: "B")
+        m.register(["a", "b"], lambda: "AB")
+        assert m.match(["a", "b"]) == ["AB"]
+        assert m.match(["a"]) == ["A"]
+
+    def test_partial_cover(self):
+        m = ClassMatcher()
+        m.register(["a", "b"], lambda: "AB")
+        m.register(["c"], lambda: "C")
+        assert sorted(m.match(["a", "b", "c"])) == ["AB", "C"]
+
+    def test_no_cover_raises(self):
+        m = ClassMatcher()
+        m.register(["a", "b"], lambda: "AB")
+        with pytest.raises(FunctionNotFoundError):
+            m.match(["a"])
