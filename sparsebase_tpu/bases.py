@@ -20,6 +20,121 @@ from .formats.csr import CSR
 from .formats.base import Format
 
 
+class ReorderBase:
+    """Parity: ``bases::ReorderBase`` (bases/reorder_base.h:29-708) —
+    reorder / permute / inverse-permutation / heatmap one-liners."""
+
+    @staticmethod
+    def reorder(reorderer_cls, fmt: Format, params=None, context=None, convert_input=True):
+        """Run a reorderer class (Reorder, reorder_base.h:50-85)."""
+        op = reorderer_cls(**params) if isinstance(params, dict) else (
+            reorderer_cls(params) if params is not None else reorderer_cls()
+        )
+        return op.get_reorder(fmt, context=context, convert_input=convert_input)
+
+    @staticmethod
+    def reorder_cached(reorderer_cls, fmt: Format, params=None, context=None):
+        op = reorderer_cls(**params) if isinstance(params, dict) else (
+            reorderer_cls(params) if params is not None else reorderer_cls()
+        )
+        return op.get_reorder_cached(fmt, context=context)
+
+    @staticmethod
+    def permute2d(order, fmt, context=None, convert_input=True):
+        """Apply one order to rows and columns (Permute2D,
+        reorder_base.h:145-192)."""
+        from .ops.permute import PermuteOrderTwo
+
+        return PermuteOrderTwo(order, order).get_permutation(
+            fmt, context=context, convert_input=convert_input
+        )
+
+    @staticmethod
+    def permute2d_rowwise(order, fmt, context=None, convert_input=True):
+        from .ops.permute import PermuteOrderTwo
+
+        return PermuteOrderTwo(order, None).get_permutation(
+            fmt, context=context, convert_input=convert_input
+        )
+
+    @staticmethod
+    def permute2d_colwise(order, fmt, context=None, convert_input=True):
+        from .ops.permute import PermuteOrderTwo
+
+        return PermuteOrderTwo(None, order).get_permutation(
+            fmt, context=context, convert_input=convert_input
+        )
+
+    @staticmethod
+    def permute2d_row_columnwise(row_order, col_order, fmt, context=None, convert_input=True):
+        from .ops.permute import PermuteOrderTwo
+
+        return PermuteOrderTwo(row_order, col_order).get_permutation(
+            fmt, context=context, convert_input=convert_input
+        )
+
+    @staticmethod
+    def permute1d(order, arr, context=None, convert_input=True):
+        from .ops.permute import PermuteOrderOne
+
+        return PermuteOrderOne(order).get_permutation(
+            arr, context=context, convert_input=convert_input
+        )
+
+    @staticmethod
+    def inverse_permutation(perm):
+        """(InversePermutation, reorder_base.h:663-694)."""
+        from .ops.permute import inverse_permutation as inv
+
+        return inv(perm)
+
+    @staticmethod
+    def heatmap(fmt, order_r, order_c, num_parts: int = 8, context=None):
+        """(Heatmap, reorder_base.h:696-708)."""
+        from .ops.reorder.heatmap import ReorderHeatmap
+
+        if not isinstance(order_r, DenseArray):
+            order_r = DenseArray.new(order_r)
+        if not isinstance(order_c, DenseArray):
+            order_c = DenseArray.new(order_c)
+        return ReorderHeatmap(num_parts).get_heatmap(fmt, order_r, order_c, context=context)
+
+
+class GraphFeatureBase:
+    """Parity: ``bases::GraphFeatureBase`` (bases/graph_feature_base.h:20-135)
+    — extended with a general ``extract`` running the fused extractor."""
+
+    @staticmethod
+    def get_degrees(fmt: Format, context=None, convert_input=True):
+        from .ops.feature import Degrees
+
+        return Degrees().get_degrees(fmt, context=context, convert_input=convert_input)
+
+    @staticmethod
+    def get_degree_distribution(fmt: Format, context=None, convert_input=True):
+        from .ops.feature import DegreeDistribution
+
+        return DegreeDistribution().get_distribution(
+            fmt, context=context, convert_input=convert_input
+        )
+
+    @staticmethod
+    def get_degrees_cached(fmt: Format, context=None):
+        from .ops.feature import Degrees
+
+        op = Degrees()
+        return op.execute_cached(op.params, fmt, context=context)
+
+    @staticmethod
+    def extract(features, fmt: Format, context=None, convert_input=True):
+        """Fused multi-feature extraction (feature::Extractor::Extract)."""
+        from .ops.feature import FeatureExtractor
+
+        return FeatureExtractor().extract(
+            fmt, features=features, context=context, convert_input=convert_input
+        )
+
+
 class IOBase:
     """Parity: ``bases::IOBase`` (bases/iobase.h:46-390) — 19 static
     read/write helpers."""
