@@ -1,0 +1,94 @@
+"""Headline benchmark: sparse preprocessing throughput on one TPU chip.
+
+Measures the canonical end-to-end slice (SURVEY.md §7 phase 2 /
+BASELINE.md): COO→CSR conversion + degree reorder + row/col permutation
++ SpMV, fully jitted on device, on a synthetic power-law graph. Reports
+steady-state throughput in nnz/s.
+
+``vs_baseline`` compares against the BASELINE.md target of 70% of a
+gather/sort-bound roofline estimate for this op mix (see TARGET_NNZ_S
+derivation below).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+
+# Roofline sketch for the pipeline on TPU v5e-class HBM (~800 GB/s):
+# the jitted pipeline makes ~6 full passes over nnz-sized int32/f32
+# arrays for histogram/permute/gather plus one key sort (~4 passes of
+# radix-equivalent work on XLA's bitonic sort => dominant term).
+# Effective ~60 B/nnz of HBM traffic => ~1.3e10 nnz/s at bandwidth;
+# sort inefficiency on XLA (bitonic, O(log^2 n) passes) costs ~10x at
+# these sizes. 70% of that practical ceiling:
+TARGET_NNZ_S = 7.0e8
+
+
+def make_graph(n, avg_deg, seed=0):
+    rng = np.random.default_rng(seed)
+    nnz = n * avg_deg
+    # skewed (power-law-ish) targets: mix uniform + preferential clump
+    row = rng.integers(0, n, nnz).astype(np.int64)
+    col = np.where(
+        rng.random(nnz) < 0.2,
+        rng.integers(0, max(n // 100, 1), nnz),
+        rng.integers(0, n, nnz),
+    ).astype(np.int64)
+    keys = np.unique(row * n + col)
+    row = (keys // n).astype(np.int32)
+    col = (keys % n).astype(np.int32)
+    vals = rng.standard_normal(len(row)).astype(np.float32)
+    return row, col, vals
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import sparsebase_tpu as sb
+    from sparsebase_tpu.models import preprocess_pipeline
+
+    n, avg_deg = 1_000_000, 16
+    row, col, vals = make_graph(n, avg_deg)
+    nnz = len(row)
+    coo = sb.COO(jnp.asarray(row), jnp.asarray(col), jnp.asarray(vals), (n, n))
+    x = jnp.ones((n,), jnp.float32)
+
+    fn = jax.jit(preprocess_pipeline)
+
+    def sync(o):
+        # On this image's axon (tunnel) backend block_until_ready can
+        # return before execution completes; materializing one element
+        # forces the full dependency chain (device executes in order).
+        jax.block_until_ready(o)
+        return float(np.asarray(o[:1])[0])
+
+    sync(fn(coo, x))  # warmup / compile
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(coo, x)
+    sync(out)
+    dt = (time.perf_counter() - t0) / reps
+    nnz_per_s = nnz / dt
+    print(
+        json.dumps(
+            {
+                "metric": "preprocess_pipeline_throughput",
+                "value": round(nnz_per_s, 1),
+                "unit": "nnz/s",
+                "vs_baseline": round(nnz_per_s / TARGET_NNZ_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

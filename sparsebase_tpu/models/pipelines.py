@@ -1,0 +1,40 @@
+"""Flagship end-to-end pipelines.
+
+The reference's "models" are its example/tutorial pipelines
+(reference: examples/degree_order, examples/csr_coo, tutorials/004_cuda_spmv):
+ingest → convert → reorder → permute → SpMV. These are packaged here as
+jittable pytree→pytree functions — the compute-path showcase of the
+framework.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..convert.kernels import coo_to_csr
+from ..formats.coo import COO
+from ..formats.csr import CSR
+from ..ops.permute import PermuteOrderTwoParams, _permute_csr
+
+
+def spmv_csr(csr: CSR, x):
+    """Row-wise SpMV via gather + segment-sum (XLA fuses the pipeline)."""
+    vals = csr.vals if csr.vals is not None else jnp.ones((csr.nnz,), x.dtype)
+    prod = vals.astype(x.dtype) * x[csr.indices]
+    return jax.ops.segment_sum(prod, csr.row_of_nnz(), num_segments=csr.nrows)
+
+
+def preprocess_pipeline(coo: COO, x):
+    """The canonical slice (SURVEY.md §7 phase 2): COO → CSR → degree
+    reorder → permute rows/cols → SpMV. Fully jittable."""
+    csr = coo_to_csr(coo)
+    degrees = csr.indptr[1:] - csr.indptr[:-1]
+    perm = jnp.argsort(degrees, stable=True)
+    n = csr.nrows
+    order = jnp.zeros((n,), dtype=csr.indices.dtype).at[perm].set(
+        jnp.arange(n, dtype=csr.indices.dtype)
+    )
+    permuted = _permute_csr([csr], PermuteOrderTwoParams(order, order))
+    x_perm = jnp.zeros_like(x).at[order].set(x)
+    return spmv_csr(permuted, x_perm)

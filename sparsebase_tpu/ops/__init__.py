@@ -3,6 +3,6 @@
 Reference analogue: src/sparsebase/{reorder,permute,partition,feature}/.
 """
 
-from . import permute, reorder
+from . import feature, partition, permute, reorder
 
-__all__ = ["permute", "reorder"]
+__all__ = ["feature", "partition", "permute", "reorder"]

