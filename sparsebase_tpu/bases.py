@@ -158,15 +158,19 @@ class IOBase:
 
         return MTXReader(filename, **kw).read_array()
 
-    # PIGO-parallel variants: same semantics, native parse path when the
-    # fastio extension is built; falls back to the numpy path.
+    # PIGO-parallel variants: native mmap+OpenMP parse path when the
+    # fastio extension builds; falls back to the numpy path.
     @staticmethod
     def read_pigo_mtx_to_csr(filename: str, convert_to_zero_index: bool = True, **kw) -> CSR:
-        return IOBase.read_mtx_to_csr(filename, convert_to_zero_index, **kw)
+        from .io.pigo import PigoMTXReader
+
+        return PigoMTXReader(filename, convert_to_zero_index, **kw).read_csr()
 
     @staticmethod
     def read_pigo_mtx_to_coo(filename: str, convert_to_zero_index: bool = True, **kw) -> COO:
-        return IOBase.read_mtx_to_coo(filename, convert_to_zero_index, **kw)
+        from .io.pigo import PigoMTXReader
+
+        return PigoMTXReader(filename, convert_to_zero_index, **kw).read_coo()
 
     # -- edge list -----------------------------------------------------------
     @staticmethod
@@ -183,11 +187,15 @@ class IOBase:
 
     @staticmethod
     def read_pigo_edge_list_to_csr(filename: str, **kw) -> CSR:
-        return IOBase.read_edge_list_to_csr(filename, **kw)
+        from .io.pigo import PigoEdgeListReader
+
+        return PigoEdgeListReader(filename, **kw).read_csr()
 
     @staticmethod
     def read_pigo_edge_list_to_coo(filename: str, **kw) -> COO:
-        return IOBase.read_edge_list_to_coo(filename, **kw)
+        from .io.pigo import PigoEdgeListReader
+
+        return PigoEdgeListReader(filename, **kw).read_coo()
 
     # -- SBFF binary ---------------------------------------------------------
     @staticmethod

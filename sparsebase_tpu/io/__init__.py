@@ -14,6 +14,7 @@ from .edge_list import EdgeListReader, EdgeListWriter
 from .metis_graph import MetisGraphReader, MetisGraphWriter
 from .mtx import MTXReader, MTXWriter
 from .patoh import PatohReader, PatohWriter
+from .pigo import PigoEdgeListReader, PigoMTXReader
 
 __all__ = [
     "MTXReader",
@@ -29,4 +30,6 @@ __all__ = [
     "MetisGraphWriter",
     "PatohReader",
     "PatohWriter",
+    "PigoMTXReader",
+    "PigoEdgeListReader",
 ]

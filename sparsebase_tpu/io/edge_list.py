@@ -46,13 +46,16 @@ class EdgeListReader:
         self.id_dtype = id_dtype
         self.value_dtype = value_dtype
 
-    def read_coo(self) -> COO:
+    def _load_body(self) -> np.ndarray:
         try:
-            body = np.loadtxt(
+            return np.loadtxt(
                 self.filename, comments=("%", "#"), dtype=np.float64, ndmin=2
             )
         except (OSError, ValueError) as e:
             raise ReaderError(f"Cannot read edge list {self.filename}: {e}")
+
+    def read_coo(self) -> COO:
+        body = self._load_body()
         if body.size == 0:
             body = body.reshape(0, 3 if self.weighted else 2)
         if self.weighted and body.shape[1] < 3:

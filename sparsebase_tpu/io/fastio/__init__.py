@@ -1,0 +1,133 @@
+"""ctypes bindings + lazy build of the native parallel parser.
+
+The PIGO-equivalent native I/O path (reference:
+src/sparsebase/external/pigo/pigo.hpp + io/pigo_*_reader.cc): mmap +
+OpenMP chunked parsing in C++ (fastio.cpp), loaded through ctypes. If
+the shared library is missing it is compiled on first use with g++; if
+no toolchain is available, callers fall back to the numpy parser
+(``available()`` returns False).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "fastio.cpp"
+_LIB_PATH = _HERE / "libfastio.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-fopenmp",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        str(_SRC),
+        "-o",
+        str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.sbtpu_count_entries.restype = ctypes.c_int64
+        lib.sbtpu_count_entries.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.sbtpu_parse_entries.restype = ctypes.c_int64
+        lib.sbtpu_parse_entries.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.sbtpu_parse_values.restype = ctypes.c_int64
+        lib.sbtpu_parse_values.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def count_entries(path: str, offset: int) -> int:
+    lib = _load()
+    n = lib.sbtpu_count_entries(path.encode(), offset)
+    if n < 0:
+        raise OSError(f"fastio: cannot read {path}")
+    return int(n)
+
+
+def parse_entries(
+    path: str, offset: int, weighted: bool
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Parse `u v [w]` lines after byte `offset`; returns (rows, cols, vals)."""
+    lib = _load()
+    n = count_entries(path, offset)
+    rows = np.empty(n, np.int64)
+    cols = np.empty(n, np.int64)
+    vals = np.empty(n, np.float64) if weighted else None
+    got = lib.sbtpu_parse_entries(
+        path.encode(),
+        offset,
+        3 if weighted else 2,
+        n,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) if weighted else None,
+    )
+    if got < 0:
+        raise OSError(f"fastio: cannot read {path}")
+    return rows[:got], cols[:got], (vals[:got] if weighted else None)
+
+
+def parse_values(path: str, offset: int) -> np.ndarray:
+    lib = _load()
+    n = count_entries(path, offset)
+    vals = np.empty(n, np.float64)
+    got = lib.sbtpu_parse_values(
+        path.encode(), offset, n, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    )
+    if got < 0:
+        raise OSError(f"fastio: cannot read {path}")
+    return vals[:got]

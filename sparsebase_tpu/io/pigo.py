@@ -1,0 +1,77 @@
+"""PIGO-equivalent parallel readers: native mmap+OpenMP parse path.
+
+Reference analogues: ``io::PigoMTXReader`` / ``io::PigoEdgeListReader``
+(reference: src/sparsebase/io/pigo_mtx_reader.cc,
+pigo_edge_list_reader.cc, vendored external/pigo/pigo.hpp). Same
+semantics as the plain readers; only the body-parsing path changes to
+the native fastio extension (sparsebase_tpu/io/fastio). Falls back to
+the numpy path when the native library can't be built.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.exceptions import ReaderError
+from . import fastio
+from .edge_list import EdgeListReader
+from .mtx import MTXReader
+
+
+def _body_offset(filename: str, skip_size_line: bool) -> tuple[int, tuple]:
+    """Byte offset of the first data line + the parsed size line."""
+    offset = 0
+    size = ()
+    with open(filename, "rb") as f:
+        first = True
+        for raw in f:
+            offset += len(raw)
+            line = raw.decode("ascii", "replace").strip()
+            if first:
+                first = False
+                continue  # header
+            if not line or line.startswith("%"):
+                continue
+            size = tuple(int(float(t)) for t in line.split())
+            break
+    if not skip_size_line:
+        raise ReaderError("MTX file has no size line")
+    return offset, size
+
+
+class PigoMTXReader(MTXReader):
+    """MTXReader with the native parallel body parse."""
+
+    def _read_numeric(self):
+        if not fastio.available():
+            return super()._read_numeric()
+        offset, size = _body_offset(self.filename, True)
+        if self.options.format == "array":
+            vals = fastio.parse_values(self.filename, offset)
+            return vals.reshape(-1, 1), size
+        weighted = self.options.field != "pattern"
+        rows, cols, vals = fastio.parse_entries(self.filename, offset, weighted)
+        if weighted:
+            body = np.column_stack(
+                [rows.astype(np.float64), cols.astype(np.float64), vals]
+            )
+        else:
+            body = np.column_stack([rows.astype(np.float64), cols.astype(np.float64)])
+        return body, size
+
+
+class PigoEdgeListReader(EdgeListReader):
+    """EdgeListReader with the native parallel body parse."""
+
+    def _load_body(self) -> np.ndarray:
+        if not fastio.available():
+            return super()._load_body()
+        try:
+            rows, cols, vals = fastio.parse_entries(self.filename, 0, self.weighted)
+        except OSError as e:
+            raise ReaderError(str(e))
+        if self.weighted:
+            return np.column_stack(
+                [rows.astype(np.float64), cols.astype(np.float64), vals]
+            )
+        return np.column_stack([rows.astype(np.float64), cols.astype(np.float64)])

@@ -421,3 +421,56 @@ class TestGraphObject:
         p.write_text("0 1\n1 2\n")
         g = Graph.read_connectivity_from_edgelist_to_csr(str(p))
         assert g.n == 3 and g.m == 4  # undirected doubling
+
+
+class TestPigoReaders:
+    """Native parallel parse path (PIGO-equivalent); falls back to numpy
+    when the toolchain is unavailable, so results must always match."""
+
+    def test_pigo_mtx_matches_numpy(self, tmp_path):
+        p = tmp_path / "m.mtx"
+        p.write_text(MTX_GENERAL)
+        from sparsebase_tpu.io import PigoMTXReader
+
+        a = PigoMTXReader(str(p)).read_coo()
+        b = MTXReader(str(p)).read_coo()
+        np.testing.assert_array_equal(np.asarray(a.row), np.asarray(b.row))
+        np.testing.assert_array_equal(np.asarray(a.col), np.asarray(b.col))
+        np.testing.assert_array_equal(np.asarray(a.vals), np.asarray(b.vals))
+
+    def test_pigo_mtx_pattern(self, tmp_path):
+        p = tmp_path / "m.mtx"
+        p.write_text(MTX_PATTERN)
+        from sparsebase_tpu.io import PigoMTXReader
+
+        coo = PigoMTXReader(str(p)).read_coo()
+        assert coo.vals is None
+        np.testing.assert_array_equal(coo.to_dense(), (fx.DENSE != 0).astype(np.int8))
+
+    def test_pigo_edge_list_matches(self, tmp_path):
+        p = tmp_path / "e.txt"
+        p.write_text("0 1 0.5\n1 2 1.5\n% comment\n2 0 2.5\n")
+        from sparsebase_tpu.io import EdgeListReader, PigoEdgeListReader
+
+        a = PigoEdgeListReader(str(p), weighted=True, read_undirected=False).read_coo()
+        b = EdgeListReader(str(p), weighted=True, read_undirected=False).read_coo()
+        np.testing.assert_array_equal(np.asarray(a.row), np.asarray(b.row))
+        np.testing.assert_allclose(np.asarray(a.vals), np.asarray(b.vals))
+
+    def test_pigo_ash958(self):
+        from sparsebase_tpu.bases import IOBase
+
+        csr = IOBase.read_pigo_mtx_to_csr("/root/reference/examples/data/ash958.mtx")
+        ref = IOBase.read_mtx_to_csr("/root/reference/examples/data/ash958.mtx")
+        np.testing.assert_array_equal(np.asarray(csr.indptr), np.asarray(ref.indptr))
+        np.testing.assert_array_equal(np.asarray(csr.indices), np.asarray(ref.indices))
+
+    def test_scientific_notation(self, tmp_path):
+        p = tmp_path / "m.mtx"
+        p.write_text(
+            "%%MatrixMarket matrix coordinate real general\n2 2 2\n1 1 1.5e-3\n2 2 -2.25E+2\n"
+        )
+        from sparsebase_tpu.io import PigoMTXReader
+
+        coo = PigoMTXReader(str(p)).read_coo()
+        np.testing.assert_allclose(np.asarray(coo.vals), [1.5e-3, -225.0], rtol=1e-6)
