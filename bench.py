@@ -32,6 +32,7 @@ TARGET_NNZ_S = 7.0e8
 
 
 def make_graph(n, avg_deg, seed=0):
+    """Host-side synthetic skewed graph (used by tests/drives)."""
     rng = np.random.default_rng(seed)
     nnz = n * avg_deg
     # skewed (power-law-ish) targets: mix uniform + preferential clump
@@ -48,6 +49,30 @@ def make_graph(n, avg_deg, seed=0):
     return row, col, vals
 
 
+def make_graph_on_device(n, nnz, seed=0):
+    """Generate a row-major-sorted synthetic COO entirely on device —
+    the benchmark path must not pay host↔device transfers (the axon
+    tunnel moves ~1 MB/s; 100 MB of COO arrays would dominate)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        row = jax.random.randint(k1, (nnz,), 0, n, dtype=jnp.int32)
+        clump = jax.random.randint(k2, (nnz,), 0, max(n // 100, 1), dtype=jnp.int32)
+        uniform = jax.random.randint(k3, (nnz,), 0, n, dtype=jnp.int32)
+        col = jnp.where(jax.random.uniform(k4, (nnz,)) < 0.2, clump, uniform)
+        # row-major sort (two stable passes, no wide keys)
+        o1 = jnp.argsort(col, stable=True)
+        o2 = jnp.argsort(row[o1], stable=True)
+        order = o1[o2]
+        vals = jax.random.normal(k1, (nnz,), jnp.float32)
+        return row[order], col[order], vals
+
+    return gen(jax.random.PRNGKey(seed))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -55,10 +80,9 @@ def main():
     import sparsebase_tpu as sb
     from sparsebase_tpu.models import preprocess_pipeline
 
-    n, avg_deg = 1_000_000, 16
-    row, col, vals = make_graph(n, avg_deg)
-    nnz = len(row)
-    coo = sb.COO(jnp.asarray(row), jnp.asarray(col), jnp.asarray(vals), (n, n))
+    n, nnz = 1_000_000, 16_000_000
+    row, col, vals = make_graph_on_device(n, nnz)
+    coo = sb.COO(row, col, vals, (n, n))
     x = jnp.ones((n,), jnp.float32)
 
     fn = jax.jit(preprocess_pipeline)

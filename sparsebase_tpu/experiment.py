@@ -174,6 +174,9 @@ def reorder_csr(reorderer_factory):
         from .bases import ReorderBase
 
         order = reorderer_factory().get_reorder(data)
-        return ReorderBase.permute2d(order, data)
+        if data.shape[0] == data.shape[1]:
+            return ReorderBase.permute2d(order, data)
+        # rectangular: a row ordering cannot renumber columns
+        return ReorderBase.permute2d_rowwise(order, data)
 
     return fn

@@ -223,11 +223,50 @@ def _rcm_device(csr: CSR):
     return reversed_pos.astype(indices.dtype)
 
 
+def _symmetrized_square(csr: CSR) -> CSR:
+    """A ∪ Aᵀ pattern over max(nrows, ncols) vertices, duplicates kept.
+
+    RCM is defined on undirected graphs; the reference implicitly assumes
+    a symmetric CSR (rcm_reorder.cc BFS follows out-edges only, and a
+    non-symmetric input makes its pseudo-peripheral search revisit
+    earlier components and double-assign positions). Concatenating A and
+    Aᵀ keeps shapes static (2·nnz) and works on either backend; for
+    already-symmetric inputs every degree doubles uniformly, so tie
+    orders — and hence the ordering — match the reference. Rectangular
+    inputs fold row/col id spaces into one vertex set."""
+    from ...convert.kernels import lexsort_pairs
+
+    xp = xp_for(csr.indptr, csr.indices)
+    n = max(csr.shape)
+    row = csr.row_of_nnz()
+    ur = xp.concatenate([row, csr.indices]).astype(row.dtype)
+    uc = xp.concatenate([csr.indices, row]).astype(row.dtype)
+    order = lexsort_pairs(xp, ur, uc)
+    sr, sc = ur[order], uc[order]
+    if xp is np:
+        counts = np.bincount(sr, minlength=n)
+    else:
+        import jax.numpy as jnp
+
+        counts = jnp.bincount(sr, length=n)
+    zero = xp.zeros((1,), dtype=csr.indptr.dtype)
+    sp = xp.concatenate([zero, xp.cumsum(counts).astype(csr.indptr.dtype)])
+    return CSR(sp, sc, None, (n, n))
+
+
 def _rcm_impl(formats, params):
     csr: CSR = formats[0]
-    if xp_for(csr.indptr) is np:
-        return _rcm_host(csr)
-    return _rcm_device(csr)
+    on_device = xp_for(csr.indptr) is not np
+    work = _symmetrized_square(csr)
+    order = _rcm_device(work) if on_device else _rcm_host(work)
+    if work.nrows != csr.nrows:
+        # compress the folded ordering to a row permutation: rank the
+        # first nrows vertices by their fold positions
+        pos = np.asarray(order)[: csr.nrows]
+        ranks = np.empty(csr.nrows, dtype=pos.dtype)
+        ranks[np.argsort(pos, kind="stable")] = np.arange(csr.nrows, dtype=pos.dtype)
+        return ranks
+    return order
 
 
 class RCMReorder(Reorderer):
