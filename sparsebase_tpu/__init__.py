@@ -23,7 +23,8 @@ Layer map (mirrors SURVEY.md §1):
 
 __version__ = "0.1.0"
 
-from . import context, convert, dispatch, formats, utils
+from . import config, context, convert, dispatch, formats, utils
+from .config import get_config, set_config
 from .context import (
     CPU_CONTEXT,
     Context,

@@ -1,0 +1,204 @@
+"""Benchmark suite CLI: quality + throughput tables (BASELINE.md metrics).
+
+Usage::
+
+    python -m sparsebase_tpu.bench_suite [--device] [--out BENCH.md]
+
+Measures, per matrix (bundled ash958 + synthetic graphs):
+
+* conversion throughput (COO↔CSR↔CSC round trip, nnz/s)
+* reorder quality: bandwidth/profile reduction per algorithm
+* partition quality: edge cut + balance vs a random baseline
+* feature extraction timing
+
+This is the "benchmark CLI producing BASELINE.md numbers" of
+SURVEY.md §7 phase 6; the reference analogue is the experiment example
+(examples/example_experiment).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    try:
+        import jax
+
+        jax.block_until_ready(x)
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        if hasattr(leaf, "reshape"):
+            np.asarray(leaf.reshape(-1)[:1])
+    except Exception:
+        pass
+    return x
+
+
+def _timeit(fn, *args, reps=3):
+    _sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def synthetic_graph(n, avg_deg, seed=0):
+    from .formats.coo import COO
+    from .convert import coo_to_csr
+
+    rng = np.random.default_rng(seed)
+    nnz = n * avg_deg
+    row = rng.integers(0, n, nnz).astype(np.int64)
+    col = rng.integers(0, n, nnz).astype(np.int64)
+    row, col = np.concatenate([row, col]), np.concatenate([col, row])
+    keep = row != col
+    keys = np.unique(row[keep] * n + col[keep])
+    return coo_to_csr(
+        COO.new(
+            (keys // n).astype(np.int32),
+            (keys % n).astype(np.int32),
+            None,
+            shape=(n, n),
+        )
+    )
+
+
+def ash958_graph():
+    from .bases import IOBase
+    from .formats.coo import COO
+    from .formats.csr import CSR
+
+    csr = IOBase.read_mtx_to_csr("/root/reference/examples/data/ash958.mtx")
+    n = max(csr.shape)
+    coo = csr.convert(COO)
+    row = np.concatenate([np.asarray(coo.row), np.asarray(coo.col)])
+    col = np.concatenate([np.asarray(coo.col), np.asarray(coo.row)])
+    return COO.new(row, col, None, shape=(n, n)).convert(CSR)
+
+
+def run(device: bool = False):
+    import jax
+
+    if not device:
+        jax.config.update("jax_platforms", "cpu")
+    from .bases import ReorderBase
+    from .convert import coo_to_csr, csr_to_coo, csr_to_csc
+    from .formats.csr import CSR
+    from .ops.feature import Bandwidth, Degrees, Profile
+    from .ops.partition import MetisPartition, balance_ratio, edge_cut
+    from .ops.reorder import (
+        AMDReorder,
+        BOBAReorder,
+        DegreeReorder,
+        GrayReorder,
+        MetisReorder,
+        RabbitReorder,
+        RCMReorder,
+        SlashburnReorder,
+    )
+
+    results = {}
+    matrices = {
+        "ash958(sym)": ash958_graph(),
+        "rand-20k": synthetic_graph(20_000, 8),
+    }
+    for name, g in matrices.items():
+        if device:
+            g = g.to_device()
+        entry = {"n": g.nrows, "nnz": g.nnz}
+        # conversions
+        dt = _timeit(lambda c: csr_to_csc(coo_to_csr(csr_to_coo(c))), g)
+        entry["convert_roundtrip_nnz_per_s"] = round(g.nnz / dt, 1)
+        # reorders: quality on host metrics
+        bw0 = int(np.asarray(Bandwidth().get_bandwidth(g)))
+        pr0 = int(np.asarray(Profile().get_profile(g)))
+        entry["natural"] = {"bandwidth": bw0, "profile": pr0}
+        reorders = {
+            "degree": DegreeReorder(),
+            "rcm": RCMReorder(),
+            "gray": GrayReorder(),
+            "boba": BOBAReorder(),
+            "nested_dissection": MetisReorder(seed=0),
+            "rabbit": RabbitReorder(),
+            "slashburn": SlashburnReorder(k_size=32),
+        }
+        if g.nrows <= 5_000:
+            # the quotient-graph minimum degree is sequential host code;
+            # keep it off large suite matrices
+            reorders["amd"] = AMDReorder()
+        entry["reorder"] = {}
+        for rname, op in reorders.items():
+            t0 = time.perf_counter()
+            order = op.get_reorder(g)
+            dt = time.perf_counter() - t0
+            perm = ReorderBase.permute2d(order, g)
+            entry["reorder"][rname] = {
+                "seconds": round(dt, 3),
+                "bandwidth": int(np.asarray(Bandwidth().get_bandwidth(perm))),
+                "profile": int(np.asarray(Profile().get_profile(perm))),
+            }
+        # partition quality
+        entry["partition"] = {}
+        rng = np.random.default_rng(0)
+        for k in (2, 8):
+            part = MetisPartition(num_partitions=k, seed=0).partition(g)
+            rand = rng.integers(0, k, g.nrows).astype(np.int32)
+            entry["partition"][f"k{k}"] = {
+                "edge_cut": edge_cut(g, part),
+                "random_cut": edge_cut(g, rand),
+                "balance": round(balance_ratio(part, k), 3),
+            }
+        results[name] = entry
+    return results
+
+
+def to_markdown(results) -> str:
+    lines = ["# Benchmark suite results", ""]
+    for mname, e in results.items():
+        lines += [f"## {mname} — n={e['n']}, nnz={e['nnz']}", ""]
+        lines += [
+            f"conversion round trip: {e['convert_roundtrip_nnz_per_s']:.3g} nnz/s",
+            "",
+            "| reorder | seconds | bandwidth | profile |",
+            "|---|---|---|---|",
+            f"| (natural) | — | {e['natural']['bandwidth']} | {e['natural']['profile']} |",
+        ]
+        for rname, r in e["reorder"].items():
+            lines.append(
+                f"| {rname} | {r['seconds']} | {r['bandwidth']} | {r['profile']} |"
+            )
+        lines += ["", "| k | edge cut | random cut | balance |", "|---|---|---|---|"]
+        for kname, p in e["partition"].items():
+            lines.append(
+                f"| {kname[1:]} | {p['edge_cut']} | {p['random_cut']} | {p['balance']} |"
+            )
+        lines.append("")
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", action="store_true")
+    ap.add_argument("--out", default=None, help="write a markdown report here")
+    ap.add_argument("--json", action="store_true", help="print JSON instead")
+    args = ap.parse_args()
+    results = run(device=args.device)
+    if args.json:
+        print(json.dumps(results, indent=2))
+    else:
+        md = to_markdown(results)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(md)
+            print(f"wrote {args.out}")
+        else:
+            print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,17 +63,44 @@ def lexsort_pairs(xp, major, minor):
 
     Avoids wide int64 fused keys (``major * extent + minor`` overflows int32
     for matrices with > 2^31 cells, and jax without x64 silently truncates).
+    Prefer :func:`sort_by_pairs` on device — it fuses the two keys and the
+    payload into one ``lax.sort`` call.
     """
     order1 = xp.argsort(minor, stable=True)
     order2 = xp.argsort(major[order1], stable=True)
     return order1[order2]
 
 
+def sort_by_pairs(xp, major, minor, *payload):
+    """Sort entries by (major, minor), carrying payload arrays along.
+
+    Returns ``(major_sorted, minor_sorted, *payload_sorted)``. Device path
+    is a single variadic ``jax.lax.sort`` with ``num_keys=2`` — one fused
+    sort instead of two stable argsorts plus per-array gathers (the
+    argsort formulation costs ~3x more on TPU). ``None`` payload entries
+    pass through as ``None``.
+    """
+    live = [p for p in payload if p is not None]
+    if xp is np:
+        order = np.lexsort((minor, major))
+        outs = [major[order], minor[order]] + [p[order] for p in live]
+    else:
+        import jax
+
+        # not is_stable: ties are exact duplicate (major, minor) pairs whose
+        # payload order is unobservable (duplicates accumulate); unstable
+        # variadic sort is measurably faster on TPU
+        outs = list(jax.lax.sort((major, minor, *live), num_keys=2, is_stable=False))
+    result = outs[:2]
+    it = iter(outs[2:])
+    for p in payload:
+        result.append(None if p is None else next(it))
+    return tuple(result)
+
+
 def _order2_transpose_sort(xp, major, minor, vals, n_major, major_extent):
     """Stable sort entries by (major, minor); returns (indptr, minor, vals)."""
-    order = lexsort_pairs(xp, major, minor)
-    minor_sorted = minor[order]
-    vals_sorted = None if vals is None else vals[order]
+    _, minor_sorted, vals_sorted = sort_by_pairs(xp, major, minor, vals)
     counts = _bincount(xp, major, n_major, major.dtype)
     indptr = _indptr_from_counts(xp, counts, major.dtype)
     return indptr, minor_sorted, vals_sorted
@@ -94,9 +121,8 @@ def csc_to_coo(csc: CSC) -> COO:
     xp = xp_for(csc.indptr, csc.indices)
     col = csc.col_of_nnz()
     row = csc.indices
-    order = lexsort_pairs(xp, row, col)
-    vals = None if csc.vals is None else csc.vals[order]
-    return COO(row[order], col[order], vals, csc.shape)
+    row_s, col_s, vals_s = sort_by_pairs(xp, row, col, csc.vals)
+    return COO(row_s, col_s, vals_s, csc.shape)
 
 
 def csr_to_csc(csr: CSR) -> CSC:

@@ -82,12 +82,11 @@ class COO(Format):
         return bool(xp.all(ok))
 
     def sort_rowmajor(self) -> "COO":
-        from ..convert.kernels import lexsort_pairs
+        from ..convert.kernels import sort_by_pairs
 
         xp = xp_for(self.row, self.col)
-        order = lexsort_pairs(xp, self.row, self.col)
-        vals = None if self.vals is None else self.vals[order]
-        return dataclasses.replace(self, row=self.row[order], col=self.col[order], vals=vals)
+        row, col, vals = sort_by_pairs(xp, self.row, self.col, self.vals)
+        return dataclasses.replace(self, row=row, col=col, vals=vals)
 
     def astype(self, id_dtype=None, nnz_dtype=None, value_dtype=None) -> "COO":
         # nnz_dtype unused: COO carries no offset array (parity with

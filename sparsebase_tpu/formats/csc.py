@@ -65,11 +65,20 @@ class CSC(Format):
         return None if self.vals is None else self.vals.dtype
 
     def col_of_nnz(self):
+        """Per-nnz column ids (see CSR.row_of_nnz for the device
+        scatter+cumsum formulation rationale)."""
         xp = xp_for(self.indptr, self.indices)
-        pos = xp.arange(self.nnz, dtype=self.indptr.dtype)
-        return (xp.searchsorted(self.indptr, pos, side="right") - 1).astype(
-            self.indices.dtype
+        if xp is np:
+            return np.repeat(
+                np.arange(self.ncols, dtype=self.indices.dtype),
+                np.diff(self.indptr),
+            )
+        import jax.numpy as jnp
+
+        marks = jnp.zeros((max(self.nnz, 1),), jnp.int32).at[self.indptr[:-1]].add(
+            1, mode="drop"
         )
+        return (jnp.cumsum(marks) - 1).astype(self.indices.dtype)[: self.nnz]
 
     def astype(self, id_dtype=None, nnz_dtype=None, value_dtype=None) -> "CSC":
         return dataclasses.replace(

@@ -39,11 +39,17 @@ def _body_offset(filename: str, skip_size_line: bool) -> tuple[int, tuple]:
     return offset, size
 
 
+def _fastio_enabled() -> bool:
+    from ..config import get_config
+
+    return get_config().use_fastio and fastio.available()
+
+
 class PigoMTXReader(MTXReader):
     """MTXReader with the native parallel body parse."""
 
     def _read_numeric(self):
-        if not fastio.available():
+        if not _fastio_enabled():
             return super()._read_numeric()
         offset, size = _body_offset(self.filename, True)
         if self.options.format == "array":
@@ -64,7 +70,7 @@ class PigoEdgeListReader(EdgeListReader):
     """EdgeListReader with the native parallel body parse."""
 
     def _load_body(self) -> np.ndarray:
-        if not fastio.available():
+        if not _fastio_enabled():
             return super()._load_body()
         try:
             rows, cols, vals = fastio.parse_entries(self.filename, 0, self.weighted)

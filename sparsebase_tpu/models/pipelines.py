@@ -36,5 +36,5 @@ def preprocess_pipeline(coo: COO, x):
         jnp.arange(n, dtype=csr.indices.dtype)
     )
     permuted = _permute_csr([csr], PermuteOrderTwoParams(order, order))
-    x_perm = jnp.zeros_like(x).at[order].set(x)
+    x_perm = x[perm]  # gather, not scatter: x_perm[order[i]] == x[i]
     return spmv_csr(permuted, x_perm)

@@ -60,7 +60,9 @@ def _jaccard_device(csr: CSR):
     lens = deg[row]  # per-edge expansion = deg(u)
     total = int(np.asarray(lens.sum()))  # static under eager; = Σ deg(u)²-ish
     starts = jnp.cumsum(lens) - lens
-    owner = jnp.searchsorted(starts, jnp.arange(total, dtype=jnp.int32), side="right") - 1
+    # owner of each expanded slot via marker scatter + prefix sum
+    marks = jnp.zeros((max(total, 1),), jnp.int32).at[starts].add(1, mode="drop")
+    owner = (jnp.cumsum(marks) - 1)[:total]
     offs = jnp.arange(total, dtype=jnp.int32) - starts[owner]
     cand = indices[indptr[row[owner]] + offs]
     v_of = indices[owner]

@@ -234,15 +234,14 @@ def _symmetrized_square(csr: CSR) -> CSR:
     already-symmetric inputs every degree doubles uniformly, so tie
     orders — and hence the ordering — match the reference. Rectangular
     inputs fold row/col id spaces into one vertex set."""
-    from ...convert.kernels import lexsort_pairs
+    from ...convert.kernels import sort_by_pairs
 
     xp = xp_for(csr.indptr, csr.indices)
     n = max(csr.shape)
     row = csr.row_of_nnz()
     ur = xp.concatenate([row, csr.indices]).astype(row.dtype)
     uc = xp.concatenate([csr.indices, row]).astype(row.dtype)
-    order = lexsort_pairs(xp, ur, uc)
-    sr, sc = ur[order], uc[order]
+    sr, sc, _ = sort_by_pairs(xp, ur, uc, None)
     if xp is np:
         counts = np.bincount(sr, minlength=n)
     else:

@@ -34,11 +34,10 @@ from .sharded import ShardedCSR
 
 
 def _local_row_of(indptr_local, width):
-    """Row id (local) of every nnz slot in a padded shard."""
-    pos = jnp.arange(width, dtype=jnp.int32)
-    return (
-        jnp.searchsorted(indptr_local, pos, side="right").astype(jnp.int32) - 1
-    )
+    """Row id (local) of every nnz slot in a padded shard — scatter row
+    markers + prefix sum (searchsorted is ~50x slower on TPU)."""
+    marks = jnp.zeros((width,), jnp.int32).at[indptr_local[:-1]].add(1, mode="drop")
+    return jnp.cumsum(marks) - 1
 
 
 def spmv(sh: ShardedCSR, x, mesh: Mesh):
