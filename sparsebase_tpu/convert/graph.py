@@ -180,6 +180,7 @@ def _register_builtin_edges():
     from ..formats.coo import COO
     from ..formats.csc import CSC
     from ..formats.csr import CSR
+    from ..formats.dia import DIA
     from . import kernels as k
 
     register_conversion(COO, CSR, k.coo_to_csr)
@@ -188,6 +189,8 @@ def _register_builtin_edges():
     register_conversion(CSC, COO, k.csc_to_coo)
     register_conversion(CSR, CSC, k.csr_to_csc)
     register_conversion(CSC, CSR, k.csc_to_csr)
+    register_conversion(CSR, DIA, k.csr_to_dia)
+    register_conversion(DIA, CSR, k.dia_to_csr)
 
 
 _register_builtin_edges()

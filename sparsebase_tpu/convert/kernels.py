@@ -136,6 +136,66 @@ def csr_to_csc(csr: CSR) -> CSC:
     return CSC(indptr, rows, vals, csr.shape)
 
 
+def csr_to_dia(csr: CSR):
+    """CSR → DIA (diagonal storage). Present offsets are discovered with
+    one scatter + a small host sync (they become static metadata); data
+    fills with one scatter-add. Use after bandwidth-reducing reordering —
+    storage is O(bandwidth · n)."""
+    from ..formats.dia import DIA
+
+    xp = xp_for(csr.indptr, csr.indices)
+    n, m = csr.shape
+    row = csr.row_of_nnz()
+    off = csr.indices.astype(xp.int32) - row.astype(xp.int32)  # in [-(n-1), m-1]
+    span = n + m - 1
+    if xp is np:
+        present = np.zeros(span, bool)
+        present[off + (n - 1)] = True
+        offsets = (np.nonzero(present)[0] - (n - 1)).astype(np.int32)
+        lut = np.zeros(span, np.int32)
+        lut[offsets + (n - 1)] = np.arange(len(offsets), dtype=np.int32)
+        d_idx = lut[off + (n - 1)]
+        vals = csr.vals if csr.vals is not None else np.ones(csr.nnz, np.float32)
+        data = np.zeros((len(offsets), n), vals.dtype)
+        np.add.at(data, (d_idx, row), vals)
+        return DIA(offsets, data, (n, m))
+    import jax.numpy as jnp
+
+    present = jnp.zeros((span,), bool).at[off + (n - 1)].set(True)
+    offsets_np = (np.nonzero(np.asarray(present))[0] - (n - 1)).astype(np.int32)
+    offsets = jnp.asarray(offsets_np)
+    lut = jnp.zeros((span,), jnp.int32).at[offsets + (n - 1)].set(
+        jnp.arange(len(offsets_np), dtype=jnp.int32)
+    )
+    d_idx = lut[off + (n - 1)]
+    vals = csr.vals if csr.vals is not None else jnp.ones((csr.nnz,), jnp.float32)
+    data = jnp.zeros((len(offsets_np), n), vals.dtype).at[d_idx, row].add(vals)
+    return DIA(offsets, data, (n, m))
+
+
+def dia_to_csr(dia) -> CSR:
+    """DIA → CSR (host; the stored band is scanned densely)."""
+    d = dia.to_host()
+    offs = np.asarray(d.offsets)
+    data = np.asarray(d.data)
+    n, m = d.shape
+    rows, cols, vals = [], [], []
+    for k, off in enumerate(offs.tolist()):
+        i = np.arange(n)
+        j = i + off
+        ok = (j >= 0) & (j < m) & (data[k] != 0)
+        rows.append(i[ok])
+        cols.append(j[ok])
+        vals.append(data[k][ok])
+    row = np.concatenate(rows) if rows else np.zeros(0, np.int32)
+    col = np.concatenate(cols) if cols else np.zeros(0, np.int32)
+    val = np.concatenate(vals) if vals else np.zeros(0, data.dtype)
+    order = np.lexsort((col, row))
+    row, col, val = row[order], col[order], val[order]
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(row, minlength=n))]).astype(np.int64)
+    return CSR(indptr, col.astype(np.int32), val, (n, m))
+
+
 def csc_to_csr(csc: CSC) -> CSR:
     """Direct CSC→CSR transpose-sort (new edge)."""
     xp = xp_for(csc.indptr, csc.indices)

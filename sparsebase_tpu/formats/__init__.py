@@ -5,12 +5,14 @@ from .base import Format, register_format, registered_formats, static_field
 from .coo import COO
 from .csc import CSC
 from .csr import CSR
+from .dia import DIA
 
 __all__ = [
     "Format",
     "CSR",
     "COO",
     "CSC",
+    "DIA",
     "DenseArray",
     "Array",
     "register_format",

@@ -1,6 +1,13 @@
 """Mesh-sharded formats + distributed ops (TPU-only layer, SURVEY.md §5)."""
 
-from .dist import bfs_levels, degree_reorder, degrees, label_prop_partition, spmv
+from .dist import (
+    bfs_levels,
+    degree_reorder,
+    degrees,
+    label_prop_partition,
+    rcm_reorder,
+    spmv,
+)
 from .mesh import make_mesh, make_mesh_2d, replicated, shard_rows
 from .sharded import ShardedCSR
 
@@ -14,5 +21,6 @@ __all__ = [
     "degrees",
     "bfs_levels",
     "degree_reorder",
+    "rcm_reorder",
     "label_prop_partition",
 ]

@@ -145,6 +145,34 @@ def degree_reorder(sh: ShardedCSR, mesh: Mesh, ascending: bool = True):
     return jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
 
 
+def rcm_reorder(sh: ShardedCSR, mesh: Mesh, root: int = 0, max_iters: Optional[int] = None):
+    """Distributed level-synchronous RCM over a sharded CSR.
+
+    The distributed-memory RCM recipe (PAPERS.md: Azad & Buluç,
+    "The Reverse Cuthill-McKee Algorithm in Distributed-Memory"): BFS
+    levels via the sharded frontier exchange, then rank vertices by the
+    lexicographic key (level, degree, id) — a level-synchronous
+    approximation of host RCM — and reverse. Unreached vertices (other
+    components) are appended after, in id order. Returns a replicated
+    inverse permutation."""
+    n = sh.shape[0]
+    levels = bfs_levels(sh, root, mesh, max_iters=max_iters)
+    deg = degrees(sh, mesh)
+
+    @jax.jit
+    def rank(levels, deg):
+        unreached = levels < 0
+        lev = jnp.where(unreached, n, levels)  # components after the BFS tree
+        order = jnp.lexsort((jnp.arange(n), deg, lev))  # order[new] = old
+        pos = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+        # reverse the reached part only (Cuthill-McKee -> RCM)
+        reached_count = jnp.sum(~unreached).astype(jnp.int32)
+        rev = jnp.where(pos < reached_count, reached_count - 1 - pos, pos)
+        return rev
+
+    return rank(levels, deg)
+
+
 def label_prop_partition(
     sh: ShardedCSR,
     k: int,

@@ -128,3 +128,27 @@ class TestDistributedOps:
         out = np.asarray(two_step(sh, jnp.ones(csr.ncols, jnp.float32)))
         assert out.shape == (csr.nrows,)
         assert np.isfinite(out).all()
+
+    def test_distributed_rcm(self, mesh):
+        # path graph: RCM should produce a monotone (reversed-BFS) order
+        n = 32
+        row = np.concatenate([np.arange(n - 1), np.arange(1, n)]).astype(np.int32)
+        col = np.concatenate([np.arange(1, n), np.arange(n - 1)]).astype(np.int32)
+        from sparsebase_tpu.convert import coo_to_csr
+        from sparsebase_tpu.parallel import rcm_reorder
+
+        csr = coo_to_csr(COO.new(row, col, None, shape=(n, n)))
+        sh = ShardedCSR.from_csr(csr, mesh)
+        order = np.asarray(rcm_reorder(sh, mesh, root=0))
+        fx.check_reorder(order, n)
+        # bandwidth of the path under this order must stay 1
+        bw = np.abs(order[row.astype(int)] - order[col.astype(int)]).max()
+        assert bw == 1
+
+    def test_distributed_rcm_disconnected(self, mesh, rng):
+        csr = random_csr(rng, n=48, avg_deg=2, with_vals=False)
+        from sparsebase_tpu.parallel import rcm_reorder
+
+        sh = ShardedCSR.from_csr(csr, mesh)
+        order = np.asarray(rcm_reorder(sh, mesh, root=0))
+        fx.check_reorder(order, 48)
