@@ -112,7 +112,30 @@ def label_prop_partition(csr: CSR, params: PulpPartitionParams):
     if params.do_edge_balance and csr.vals is not None:
         weights = csr.vals
 
-    for it in range(params.num_iterations):
+    labels = _propagate(xp, csr, labels, k, cap, weights, params.num_iterations)
+    labels = _balance_fixup(xp, csr, labels, k, cap, weights)
+    # final boundary refinement (PULP's FM-flavoured pass): reuse the
+    # multilevel refiner on the (symmetrized) graph for a few rounds
+    host = csr.to_host()
+    from .multilevel import _refine, _symmetrize
+
+    indptr = np.asarray(host.indptr).astype(np.int64)
+    indices = np.asarray(host.indices).astype(np.int64)
+    ew = (
+        np.abs(np.asarray(host.vals)).astype(np.float64)
+        if (params.do_edge_balance and host.vals is not None)
+        else np.ones(host.nnz, np.float64)
+    )
+    sip, six, sew = _symmetrize(indptr, indices, ew, n)
+    labels = _refine(
+        sip, six, sew, np.ones(n, np.float64), np.asarray(labels).astype(np.int64),
+        k, cap, rounds=4,
+    )
+    return labels.astype(np.int32)
+
+
+def _propagate(xp, csr: CSR, labels, k, cap, weights, num_iterations):
+    for it in range(num_iterations):
         counts = _neighbor_counts(xp, csr, labels, k, weights)
         if xp is np:
             sizes = np.bincount(labels, minlength=k)[:k].astype(np.float32)
@@ -122,7 +145,7 @@ def label_prop_partition(csr: CSR, params: PulpPartitionParams):
             sizes = jnp.bincount(labels, length=k).astype(jnp.float32)
         # over-capacity penalty grows through the iterations (PULP-style
         # tightening): early rounds roam, late rounds respect balance
-        alpha = (it + 1) / params.num_iterations
+        alpha = (it + 1) / num_iterations
         penalty = alpha * xp.maximum(sizes - cap, 0.0) * (counts.max() + 1.0) / max(cap, 1.0)
         scores = counts - penalty[None, :]
         new_labels = xp.argmax(scores, axis=1).astype(xp.int32)
@@ -133,7 +156,7 @@ def label_prop_partition(csr: CSR, params: PulpPartitionParams):
             break
         labels = new_labels
 
-    return _balance_fixup(xp, csr, labels, k, cap, weights)
+    return labels
 
 
 def _balance_fixup(xp, csr: CSR, labels, k: int, cap: float, weights):
