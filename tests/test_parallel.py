@@ -152,3 +152,15 @@ class TestDistributedOps:
         sh = ShardedCSR.from_csr(csr, mesh)
         order = np.asarray(rcm_reorder(sh, mesh, root=0))
         fx.check_reorder(order, 48)
+
+
+class TestWeakScaling:
+    def test_harness_runs(self):
+        from sparsebase_tpu.parallel.scaling import run_weak_scaling
+
+        out = run_weak_scaling(base_n=256, avg_deg=4, device_counts=[1, 2, 4], reps=1)
+        assert set(out) == {1, 2, 4}
+        for d, r in out.items():
+            assert r["n"] == 256 * d
+            assert r["spmv_s"] > 0
+        assert out[1]["spmv_efficiency"] == 1.0
