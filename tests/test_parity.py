@@ -1,0 +1,97 @@
+"""Golden parity tests against the REFERENCE C++ library's outputs.
+
+tests/golden/ash958_sym/* was produced by running the reference
+(sparcityeu/SparseBase) itself on tests/golden/ash958_sym.mtx via
+tools/parity_dump.cc (see its header for the build recipe). These tests
+compare sparsebase_tpu's results value-for-value.
+
+Notes on expected differences:
+* DegreeReorder tie order: the reference's counting sort fills each
+  equal-degree bucket backwards (descending vertex id,
+  degree_reorder.cc:42-46); ours is a stable sort (ascending id). The
+  orderings agree on the degree sequence, not on ids within ties.
+* RCM matches the reference EXACTLY (the level-synchronous
+  (first-parent-position, degree, id) rank provably reproduces the
+  reference's BFS + per-parent priority queue).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN = Path(__file__).parent / "golden"
+MTX = str(GOLDEN / "ash958_sym.mtx")
+OUT = GOLDEN / "ash958_sym"
+
+
+def _load(name, dtype=np.int64):
+    return np.loadtxt(OUT / name, dtype=dtype)
+
+
+@pytest.fixture(scope="module")
+def csr():
+    from sparsebase_tpu.bases import IOBase
+
+    return IOBase.read_mtx_to_csr(MTX)
+
+
+class TestReaderParity:
+    def test_csr_arrays_exact(self, csr):
+        np.testing.assert_array_equal(np.asarray(csr.indptr), _load("csr_indptr.txt"))
+        np.testing.assert_array_equal(np.asarray(csr.indices), _load("csr_indices.txt"))
+
+
+class TestFeatureParity:
+    def test_degrees_exact(self, csr):
+        from sparsebase_tpu.ops.feature import Degrees
+
+        np.testing.assert_array_equal(
+            np.asarray(Degrees().get_degrees(csr)), _load("degrees.txt")
+        )
+
+    def test_scalars_exact(self, csr):
+        from sparsebase_tpu.ops.feature import Bandwidth, Profile
+
+        scalars = dict(
+            line.split() for line in (OUT / "scalars.txt").read_text().splitlines()
+        )
+        assert int(Bandwidth().get_bandwidth(csr)) == int(scalars["bandwidth"])
+        assert int(Profile().get_profile(csr)) == int(scalars["profile"])
+
+
+class TestReorderParity:
+    def test_rcm_exact(self, csr):
+        from sparsebase_tpu.ops.reorder import RCMReorder
+
+        ours = np.asarray(RCMReorder().get_reorder(csr))
+        np.testing.assert_array_equal(ours, _load("rcm_order.txt"))
+
+    def test_degree_order_same_degree_sequence(self, csr):
+        from sparsebase_tpu.ops.reorder import DegreeReorder
+
+        ref = _load("degree_order.txt")
+        ours = np.asarray(DegreeReorder(ascending=True).get_reorder(csr))
+        deg = np.diff(np.asarray(csr.indptr))
+        # both must place the same multiset of degrees at every position
+        ref_seq = np.empty_like(deg)
+        our_seq = np.empty_like(deg)
+        ref_seq[ref] = deg
+        our_seq[ours] = deg
+        np.testing.assert_array_equal(ref_seq, our_seq)
+
+
+class TestPermuteParity:
+    def test_permute_with_reference_order_exact(self, csr):
+        """Apply OUR permute with the REFERENCE's degree order; the result
+        must equal the reference's permuted CSR byte-for-byte."""
+        from sparsebase_tpu.bases import ReorderBase
+
+        ref_order = _load("degree_order.txt").astype(np.int32)
+        permuted = ReorderBase.permute2d(ref_order, csr)
+        np.testing.assert_array_equal(
+            np.asarray(permuted.indptr), _load("permuted_indptr.txt")
+        )
+        np.testing.assert_array_equal(
+            np.asarray(permuted.indices), _load("permuted_indices.txt")
+        )

@@ -1,0 +1,87 @@
+// Parity dumper: runs the REFERENCE library (sparcityeu/SparseBase) on a
+// matrix and writes its exact outputs to text files, so pytest can compare
+// sparsebase_tpu's results value-for-value (tests/test_parity.py).
+//
+// Build (after building the reference out-of-tree into $REFBUILD):
+//   g++ -O2 -std=c++17 -fopenmp tools/parity_dump.cc \
+//       -I/root/reference/src -I$REFBUILD/src \
+//       $REFBUILD/src/libsparsebase.a -o /tmp/parity_dump
+//
+// Usage: parity_dump <matrix.mtx> <outdir>
+
+#include <cstdint>
+#include <fstream>
+#include <iostream>
+#include <string>
+
+#include "sparsebase/bases/iobase.h"
+#include "sparsebase/bases/reorder_base.h"
+#include "sparsebase/context/cpu_context.h"
+#include "sparsebase/feature/bandwidth.h"
+#include "sparsebase/feature/degrees.h"
+#include "sparsebase/feature/profile.h"
+#include "sparsebase/format/csr.h"
+#include "sparsebase/reorder/degree_reorder.h"
+#include "sparsebase/reorder/rcm_reorder.h"
+
+using namespace sparsebase;
+
+using ID = int32_t;
+using NNZ = int32_t;
+using VAL = float;
+
+template <typename T>
+static void dump(const std::string& path, const T* data, int64_t n) {
+  std::ofstream f(path);
+  for (int64_t i = 0; i < n; ++i) f << data[i] << "\n";
+}
+
+int main(int argc, char** argv) {
+  if (argc < 3) {
+    std::cerr << "usage: parity_dump <matrix.mtx> <outdir>\n";
+    return 1;
+  }
+  std::string mtx = argv[1], out = argv[2];
+  context::CPUContext cpu;
+
+  auto* csr = bases::IOBase::ReadMTXToCSR<ID, NNZ, VAL>(mtx);
+  ID n = csr->get_dimensions()[0];
+  NNZ nnz = csr->get_num_nnz();
+  dump(out + "/csr_indptr.txt", csr->get_row_ptr(), n + 1);
+  dump(out + "/csr_indices.txt", csr->get_col(), nnz);
+
+  // degrees feature
+  feature::Degrees<ID, NNZ, VAL> degrees_f;
+  ID* degs = degrees_f.GetDegrees(csr, {&cpu}, true);
+  dump(out + "/degrees.txt", degs, n);
+
+  // bandwidth / profile
+  feature::Bandwidth<ID, NNZ, VAL> bw_f;
+  int* bw = bw_f.GetBandwidth(csr, {&cpu}, true);
+  feature::Profile<ID, NNZ, VAL> pr_f;
+  ID* pr = pr_f.GetProfile(csr, {&cpu}, true);
+  {
+    std::ofstream f(out + "/scalars.txt");
+    f << "bandwidth " << *bw << "\n";
+    f << "profile " << *pr << "\n";
+  }
+
+  // degree reorder (ascending), inverse permutation
+  reorder::DegreeReorder<ID, NNZ, VAL> deg_order(true);
+  ID* dperm = deg_order.GetReorder(csr, {&cpu}, true);
+  dump(out + "/degree_order.txt", dperm, n);
+
+  // RCM inverse permutation
+  reorder::RCMReorder<ID, NNZ, VAL> rcm;
+  ID* rperm = rcm.GetReorder(csr, {&cpu}, true);
+  dump(out + "/rcm_order.txt", rperm, n);
+
+  // permuted CSR under the degree order (rows+cols)
+  auto* permuted = bases::ReorderBase::Permute2D<format::CSR, ID, NNZ, VAL>(
+      dperm, csr, {&cpu}, true, true);
+  dump(out + "/permuted_indptr.txt", permuted->get_row_ptr(), n + 1);
+  dump(out + "/permuted_indices.txt", permuted->get_col(), nnz);
+
+  std::cout << "dumped to " << out << "\n";
+  return 0;
+}
