@@ -124,16 +124,27 @@ def _gray_impl(formats, params: GrayReorderParams):
     thr = xp.where(sparse_mask, 0, degrees // res)
     high, low = _gray_keys(xp, csr, params.resolution, thr)
 
-    # -- sparse keys: (degree, then chunked alternating gray order) ----------
+    # -- sparse keys: chunked alternating gray order -------------------------
+    # The reference degree-sorts sparse rows, then re-sorts every chunk of
+    # `sparse_density_group_size` distinct-degree groups purely by gray key
+    # (gray_reorder.cc:283-330) — degree order inside a chunk is destroyed.
+    # Empty rows are skipped entirely (stay first, in id order) and do not
+    # count as a distinct-degree group.
     MAX31 = (1 << 31) - 1
     group = _dense_rank(xp, degrees)  # distinct-degree group per row
-    chunk = group // max(params.sparse_density_group_size, 1)
-    odd = (chunk % 2).astype(bool)
+    has_empty = (degrees == 0).any()
+    group = xp.where(degrees > 0, group - has_empty.astype(group.dtype), -1)
+    chunk = xp.where(group >= 0, group // max(params.sparse_density_group_size, 1), -1)
+    odd = (chunk % 2 == 1) & (chunk >= 0)
     s_high = xp.where(odd, MAX31 - high, high)
     s_low = xp.where(odd, MAX31 - low, low)
-    # banded sub-matrices drop their gray keys (trace-safe masking)
+    # empty rows: keep id order at the front of the sparse block
+    s_high = xp.where(chunk < 0, 0, s_high)
+    s_low = xp.where(chunk < 0, 0, s_low)
+    # banded sub-matrices keep plain degree order (trace-safe masking)
     s_high = xp.where(sparse_banded, 0, s_high)
     s_low = xp.where(sparse_banded, 0, s_low)
+    s_chunk = xp.where(sparse_banded, group, chunk)
 
     # -- dense keys: plain ascending gray order ------------------------------
     d_high = xp.where(dense_banded, 0, high)
@@ -141,14 +152,14 @@ def _gray_impl(formats, params: GrayReorderParams):
 
     # compose one global lexsort:
     #   primary: dense-after-sparse
-    #   sparse:  (degree asc, chunk, ±gray)   [chunk implied by degree rank]
-    #   dense:   (gray asc), original order on ties
+    #   sparse:  (chunk, ±gray), id on ties
+    #   dense:   (gray asc), id on ties
     part = (~sparse_mask).astype(xp.int32)
-    key_deg = xp.where(sparse_mask, degrees, 0)
+    key_chunk = xp.where(sparse_mask, s_chunk, 0)
     key_high = xp.where(sparse_mask, s_high, d_high)
     key_low = xp.where(sparse_mask, s_low, d_low)
     ids = xp.arange(n)
-    perm = xp.lexsort((ids, key_low, key_high, key_deg, part))  # perm[new] = old
+    perm = xp.lexsort((ids, key_low, key_high, key_chunk, part))  # perm[new] = old
     inv = xp.zeros((n,), dtype=csr.indices.dtype)
     if xp is np:
         inv[perm] = np.arange(n, dtype=inv.dtype)

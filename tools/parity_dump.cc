@@ -20,8 +20,11 @@
 #include "sparsebase/feature/bandwidth.h"
 #include "sparsebase/feature/degrees.h"
 #include "sparsebase/feature/profile.h"
+#include "sparsebase/format/csc.h"
 #include "sparsebase/format/csr.h"
+#include "sparsebase/reorder/boba_reorder.h"
 #include "sparsebase/reorder/degree_reorder.h"
+#include "sparsebase/reorder/gray_reorder.h"
 #include "sparsebase/reorder/rcm_reorder.h"
 
 using namespace sparsebase;
@@ -75,6 +78,28 @@ int main(int argc, char** argv) {
   reorder::RCMReorder<ID, NNZ, VAL> rcm;
   ID* rperm = rcm.GetReorder(csr, {&cpu}, true);
   dump(out + "/rcm_order.txt", rperm, n);
+
+  // CSC conversion
+  {
+    context::CPUContext cpu2;
+    auto* csc = csr->template Convert<format::CSC>(&cpu2);
+    dump(out + "/csc_indptr.txt", csc->get_col_ptr(), csr->get_dimensions()[1] + 1);
+    dump(out + "/csc_indices.txt", csc->get_row(), nnz);
+  }
+
+  // Gray reorder (default-ish params)
+  {
+    reorder::GrayReorder<ID, NNZ, VAL> gray(reorder::BitMapSize::BitSize32, 8, 8);
+    ID* gperm = gray.GetReorder(csr, {&cpu}, true);
+    dump(out + "/gray_order.txt", gperm, n);
+  }
+
+  // BOBA reorder (sequential)
+  {
+    reorder::BOBAReorder<ID, NNZ, VAL> boba(true);
+    ID* bperm = boba.GetReorder(csr, {&cpu}, true);
+    dump(out + "/boba_order.txt", bperm, n);
+  }
 
   // permuted CSR under the degree order (rows+cols)
   auto* permuted = bases::ReorderBase::Permute2D<format::CSR, ID, NNZ, VAL>(
