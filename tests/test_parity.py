@@ -185,3 +185,47 @@ class TestG960Parity:
         )
         assert int(Bandwidth().get_bandwidth(csr960)) == int(scalars["bandwidth"])
         assert int(Profile().get_profile(csr960)) == int(scalars["profile"])
+
+
+class TestG960FeatureParity:
+    def test_degree_distribution_exact(self, csr960):
+        import numpy as _np
+
+        from sparsebase_tpu.ops.feature import DegreeDistribution
+
+        ours = _np.asarray(
+            DegreeDistribution(float_dtype=_np.float64).get_distribution(csr960)
+        )
+        ref = _np.loadtxt(G960 / "degree_distribution.txt")
+        _np.testing.assert_allclose(ours, ref, rtol=0, atol=0)
+
+    def test_min_max_avg_exact(self, csr960):
+        from sparsebase_tpu.ops.feature import AvgDegree, MaxDegree, MinDegree
+
+        feats = dict(
+            line.split() for line in (G960 / "features.txt").read_text().splitlines()
+        )
+        assert int(MinDegree().execute(None, csr960)) == int(feats["min_degree"])
+        assert int(MaxDegree().execute(None, csr960)) == int(feats["max_degree"])
+        assert float(AvgDegree().execute(None, csr960)) == pytest.approx(
+            float(feats["avg_degree"])
+        )
+
+    def test_triangle_count_correct_where_reference_is_not(self, csr960):
+        """The reference's UndirectedTriangleCount marker array stores the
+        current node id and tests it for *truthiness* instead of equality
+        (triangle_count.cc:190-199: ``isConnected[col[i]] = node`` then
+        ``if (... && isConnected[col[j]])``), so stale marks from earlier
+        nodes count as edges: it reports 18912 triangles on g960 where the
+        dense oracle trace(A^3)/6 gives 298. Ours matches the oracle."""
+        import numpy as _np
+
+        from sparsebase_tpu.ops.feature import TriangleCount
+
+        dense = _np.asarray(csr960.to_dense()) != 0
+        oracle = int(_np.trace(dense.astype(_np.int64) @ dense @ dense) // 6)
+        assert TriangleCount(False).get_triangle_count(csr960) == oracle
+        feats = dict(
+            line.split() for line in (G960 / "features.txt").read_text().splitlines()
+        )
+        assert int(feats["triangles_undirected"]) != oracle  # reference bug
