@@ -18,10 +18,28 @@ from ..formats.csr import CSR
 from ..ops.permute import PermuteOrderTwoParams, _permute_csr
 
 
-def spmv_csr(csr: CSR, x):
-    """Row-wise SpMV via gather + segment-sum (XLA fuses the pipeline)."""
+def spmv_csr(csr: CSR, x, method: str = "auto"):
+    """Row-wise SpMV.
+
+    ``method``:
+      * ``"cumsum"`` — inclusive prefix-sum of the per-entry products,
+        row sums read off as differences at the indptr boundaries. On
+        TPU this replaces a 16M-element scatter-add (~160 ms) with one
+        cumsum (~30 ms) plus two n-sized gathers. Rounding error grows
+        like O(eps·√nnz·|v|) from the long running sum.
+      * ``"segment"`` — per-row ``segment_sum`` (exact per-row
+        accumulation; the default on host).
+      * ``"auto"`` — ``cumsum`` on device arrays, ``segment`` otherwise.
+    """
     vals = csr.vals if csr.vals is not None else jnp.ones((csr.nnz,), x.dtype)
     prod = vals.astype(x.dtype) * x[csr.indices]
+    if method == "auto":
+        import numpy as np
+
+        method = "segment" if isinstance(prod, np.ndarray) else "cumsum"
+    if method == "cumsum":
+        run = jnp.concatenate([jnp.zeros((1,), prod.dtype), jnp.cumsum(prod)])
+        return run[csr.indptr[1:]] - run[csr.indptr[:-1]]
     return jax.ops.segment_sum(prod, csr.row_of_nnz(), num_segments=csr.nrows)
 
 

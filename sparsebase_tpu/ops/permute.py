@@ -65,20 +65,42 @@ def _permute_csr(formats, params: PermuteOrderTwoParams) -> CSR:
 
     indptr, indices, vals = csr.indptr, csr.indices, csr.vals
     nrows = csr.nrows
-    old_row = csr.row_of_nnz()
-    new_row = old_row if row_order is None else xp.asarray(row_order)[old_row]
+    nnz = csr.nnz
+    if row_order is None:
+        new_row = csr.row_of_nnz()
+        counts = indptr[1:] - indptr[:-1]
+    elif xp is np:
+        new_row = np.asarray(row_order)[csr.row_of_nnz()]
+        counts = np.bincount(new_row, minlength=nrows)[:nrows]
+    else:
+        import jax.numpy as jnp
+
+        # new_row[k] = row_order[old_row[k]] without the 16M-from-1M-table
+        # gather (~160 ms at 16M nnz on v5e): row_order is piecewise
+        # constant over the contiguous CSR row blocks, so scatter its
+        # per-row deltas at the row-start offsets and prefix-sum (~50 ms).
+        # Empty rows stack their deltas on one slot (the add absorbs them);
+        # trailing empty rows scatter out of bounds and are dropped.
+        ro = xp.asarray(row_order).astype(jnp.int32)
+        deltas = jnp.concatenate([ro[:1], ro[1:] - ro[:-1]])
+        new_row = jnp.cumsum(
+            jnp.zeros((max(nnz, 1),), jnp.int32)
+            .at[indptr[:-1]]
+            .add(deltas, mode="drop")
+        )[:nnz].astype(indices.dtype)
+        # row_order is a bijection, so the new histogram is the old row
+        # degrees scattered through it — a 1M scatter, not a 16M bincount.
+        counts = (
+            jnp.zeros((nrows,), indptr.dtype)
+            .at[ro]
+            .set((indptr[1:] - indptr[:-1]).astype(indptr.dtype), mode="drop")
+        )
     new_col = indices if col_order is None else xp.asarray(col_order)[indices]
 
     from ..convert.kernels import sort_by_pairs
 
     _, sorted_col, new_vals = sort_by_pairs(xp, new_row, new_col, vals)
     new_indices = sorted_col.astype(indices.dtype)
-    if xp is np:
-        counts = np.bincount(new_row, minlength=nrows)[:nrows]
-    else:
-        import jax.numpy as jnp
-
-        counts = jnp.bincount(new_row, length=nrows)
     new_indptr = xp.concatenate(
         [
             xp.zeros((1,), dtype=indptr.dtype),
