@@ -38,6 +38,47 @@ from .convert import convert as convert_format
 from .dispatch import ClassMatcher, Operation
 from .formats import COO, CSC, CSR, Array, DenseArray, Format
 
+# Heavier layers (io pulls the native fastio loader, parallel pulls mesh
+# machinery, ops pulls every algorithm) load lazily on first attribute
+# access so `import sparsebase_tpu` stays fast.
+_LAZY_SUBMODULES = (
+    "bases",
+    "bench_suite",
+    "experiment",
+    "io",
+    "models",
+    "objects",
+    "ops",
+    "parallel",
+)
+_LAZY_ATTRS = {
+    "IOBase": "bases",
+    "ReorderBase": "bases",
+    "GraphFeatureBase": "bases",
+    "Graph": "objects",
+    "HyperGraph": "objects",
+}
+
+
+def __getattr__(name):
+    import importlib
+
+    if name in _LAZY_SUBMODULES:
+        module = importlib.import_module(f".{name}", __name__)
+        globals()[name] = module
+        return module
+    if name in _LAZY_ATTRS:
+        module = importlib.import_module(f".{_LAZY_ATTRS[name]}", __name__)
+        value = getattr(module, name)
+        globals()[name] = value
+        return value
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY_SUBMODULES) | set(_LAZY_ATTRS))
+
+
 __all__ = [
     "__version__",
     "formats",
@@ -63,4 +104,6 @@ __all__ = [
     "register_conversion",
     "Operation",
     "ClassMatcher",
+    *_LAZY_SUBMODULES,
+    *_LAZY_ATTRS,
 ]

@@ -25,8 +25,36 @@ class ReorderBase:
     reorder / permute / inverse-permutation / heatmap one-liners."""
 
     @staticmethod
+    def _resolve(reorderer_cls):
+        """Accept a Reorderer class or its short name ("rcm", "degree",
+        "gray", "slashburn", "boba", "amd", "metis"/"nested_dissection",
+        "rabbit")."""
+        if not isinstance(reorderer_cls, str):
+            return reorderer_cls
+        from .ops import reorder as _r
+
+        aliases = {
+            "degree": _r.DegreeReorder,
+            "rcm": _r.RCMReorder,
+            "gray": _r.GrayReorder,
+            "slashburn": _r.SlashburnReorder,
+            "boba": _r.BOBAReorder,
+            "amd": _r.AMDReorder,
+            "metis": _r.MetisReorder,
+            "nested_dissection": _r.MetisReorder,
+            "rabbit": _r.RabbitReorder,
+        }
+        key = reorderer_cls.lower()
+        if key not in aliases:
+            raise KeyError(
+                f"unknown reorderer {reorderer_cls!r}; one of {sorted(aliases)}"
+            )
+        return aliases[key]
+
+    @staticmethod
     def reorder(reorderer_cls, fmt: Format, params=None, context=None, convert_input=True):
-        """Run a reorderer class (Reorder, reorder_base.h:50-85)."""
+        """Run a reorderer class or short name (Reorder, reorder_base.h:50-85)."""
+        reorderer_cls = ReorderBase._resolve(reorderer_cls)
         op = reorderer_cls(**params) if isinstance(params, dict) else (
             reorderer_cls(params) if params is not None else reorderer_cls()
         )
@@ -34,6 +62,7 @@ class ReorderBase:
 
     @staticmethod
     def reorder_cached(reorderer_cls, fmt: Format, params=None, context=None):
+        reorderer_cls = ReorderBase._resolve(reorderer_cls)
         op = reorderer_cls(**params) if isinstance(params, dict) else (
             reorderer_cls(params) if params is not None else reorderer_cls()
         )
