@@ -28,6 +28,7 @@ class Config:
     # feature toggles (USE_* analogues; all native, so default-on)
     use_fastio: bool = True  # native C++ parser for Pigo* readers
     use_device_kernels: bool = True  # device paths of reorders/features
+    use_graphkit: bool = True  # native C++ host-graph-algorithm kernels
 
     # algorithm knobs
     rcm_peripheral_search: bool = True  # host RCM pseudo-peripheral pass

@@ -235,6 +235,25 @@ def multilevel_partition(csr: CSR, params: MetisPartitionParams) -> np.ndarray:
     k = int(params.num_partitions)
     if k <= 1:
         return np.zeros(n, np.int32)
+    if params.ptype == "kway":
+        from ... import native
+
+        if native.available():
+            ew = (
+                np.abs(np.asarray(csr.vals)).astype(np.float64)
+                if csr.vals is not None
+                else None
+            )
+            return native.partition_kway(
+                n,
+                np.asarray(csr.indptr),
+                np.asarray(csr.indices),
+                ew,
+                k,
+                params.seed,
+                params.ufactor,
+                params.niter,
+            ).astype(np.int32)
     indptr = np.asarray(csr.indptr).astype(np.int64)
     indices = np.asarray(csr.indices).astype(np.int64)
     ewts = (

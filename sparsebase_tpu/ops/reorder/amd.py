@@ -112,6 +112,12 @@ def _amd_impl(formats, params: AMDReorderParams):
     indptr = np.asarray(csr.indptr).astype(np.int64)
     indices = np.asarray(csr.indices).astype(np.int64)
     thr = params.dense * np.sqrt(max(n, 1)) if params.dense > 0 else np.inf
+    from ... import native
+
+    if native.available():
+        return native.amd(n, indptr, indices, thr).astype(
+            np.asarray(csr.indices).dtype
+        )
     perm = _min_degree_order(indptr, indices, n, thr)  # perm[new] = old
     inv = np.empty(n, dtype=np.asarray(csr.indices).dtype)
     inv[perm] = np.arange(n, dtype=inv.dtype)

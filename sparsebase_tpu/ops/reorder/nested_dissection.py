@@ -52,7 +52,11 @@ def _subgraph(indptr, indices, vertices, n):
 
 
 def _min_degree_block(sip, six, m):
-    """Order a small block by repeated min-degree (exact, tiny n)."""
+    """Order a small block by repeated min-degree (exact, tiny n). Large
+    degenerate blocks (the exact algorithm is superquadratic under fill)
+    fall back to an ascending-degree sort."""
+    if m > 2000:
+        return np.argsort(np.diff(sip), kind="stable")
     from .amd import _min_degree_order
 
     return _min_degree_order(sip, six, m, np.inf)
@@ -120,6 +124,18 @@ def _metis_reorder_impl(formats, params: MetisReorderParams):
     csr: CSR = formats[0].to_host()
     indptr = np.asarray(csr.indptr).astype(np.int64)
     indices = np.asarray(csr.indices).astype(np.int64)
+    from ... import native
+
+    if native.available():
+        return native.nested_dissection(
+            csr.nrows,
+            indptr,
+            indices,
+            params.seed,
+            params.ufactor,
+            params.niter,
+            params.leaf_size,
+        ).astype(np.asarray(csr.indices).dtype)
     # symmetrize pattern for dissection
     from ...ops.partition.multilevel import _symmetrize
 

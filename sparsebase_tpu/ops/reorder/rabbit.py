@@ -37,6 +37,11 @@ class RabbitReorderParams:
 def _rabbit_impl(formats, params):
     csr: CSR = formats[0].to_host()
     n = csr.nrows
+    from ... import native
+
+    if native.available():
+        out = native.rabbit(n, np.asarray(csr.indptr), np.asarray(csr.indices))
+        return out.astype(np.asarray(csr.indices).dtype)
     indptr = np.asarray(csr.indptr).astype(np.int64)
     indices = np.asarray(csr.indices).astype(np.int64)
     row = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))

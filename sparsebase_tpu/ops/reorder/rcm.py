@@ -256,9 +256,22 @@ def _symmetrized_square(csr: CSR) -> CSR:
 def _rcm_impl(formats, params):
     csr: CSR = formats[0]
     on_device = xp_for(csr.indptr) is not np
-    work = _symmetrized_square(csr)
-    order = _rcm_device(work) if on_device else _rcm_host(work)
-    if work.nrows != csr.nrows:
+    if on_device:
+        order = _rcm_device(_symmetrized_square(csr))
+    else:
+        from ... import native
+
+        if native.available():
+            # native path folds + symmetrizes internally (exact mirror)
+            order = native.rcm(
+                csr.nrows,
+                csr.ncols,
+                np.asarray(csr.indptr),
+                np.asarray(csr.indices),
+            ).astype(np.asarray(csr.indices).dtype)
+        else:
+            order = _rcm_host(_symmetrized_square(csr))
+    if max(csr.shape) != csr.nrows:
         # compress the folded ordering to a row permutation: rank the
         # first nrows vertices by their fold positions
         pos = np.asarray(order)[: csr.nrows]

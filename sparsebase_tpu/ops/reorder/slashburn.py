@@ -158,8 +158,8 @@ def _slashburn_host(csr: CSR, params: SlashburnReorderParams):
                 degrees[nbrs[active[nbrs] & (degrees[nbrs] > 0)]] -= 1
                 active[h] = False
         else:
-            top = np.argpartition(-degrees, k - 1)[:k]
-            hubs = top[np.argsort(-degrees[top], kind="stable")]
+            # deterministic: descending degree, ascending id within ties
+            hubs = np.lexsort((np.arange(n), -degrees))[:k]
             active[hubs] = False
         order[hubs] = front + np.arange(k)
         front += k
@@ -185,8 +185,20 @@ def _slashburn_host(csr: CSR, params: SlashburnReorderParams):
 
 
 def _slashburn_impl(formats, params: SlashburnReorderParams):
-    csr: CSR = formats[0]
-    return _slashburn_host(csr.to_host(), params)
+    csr: CSR = formats[0].to_host()
+    from ... import native
+
+    if native.available():
+        out = native.slashburn(
+            csr.nrows,
+            np.asarray(csr.indptr),
+            np.asarray(csr.indices),
+            max(int(params.k_size), 1),
+            params.greedy,
+            params.hub_order,
+        )
+        return out.astype(np.asarray(csr.indices).dtype)
+    return _slashburn_host(csr, params)
 
 
 class SlashburnReorder(Reorderer):
