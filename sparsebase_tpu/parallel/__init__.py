@@ -4,9 +4,12 @@ from .dist import (
     bfs_levels,
     degree_reorder,
     degrees,
+    edge_cut,
     label_prop_partition,
     rcm_reorder,
+    refine_partition,
     spmv,
+    structure_features,
 )
 from .mesh import make_mesh, make_mesh_2d, replicated, shard_rows
 from .sharded import ShardedCSR
@@ -23,4 +26,7 @@ __all__ = [
     "degree_reorder",
     "rcm_reorder",
     "label_prop_partition",
+    "refine_partition",
+    "edge_cut",
+    "structure_features",
 ]

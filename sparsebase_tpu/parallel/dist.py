@@ -173,6 +173,183 @@ def rcm_reorder(sh: ShardedCSR, mesh: Mesh, root: int = 0, max_iters: Optional[i
     return rank(levels, deg)
 
 
+def edge_cut(sh: ShardedCSR, labels, mesh: Mesh):
+    """Total directed edge cut of a labeling: psum of per-shard counts of
+    entries whose row/col labels differ (the edge-cut reduction collective
+    from SURVEY.md §2.13's north star)."""
+    axis = sh.axis
+    n, m = sh.shape
+    rows = sh.rows_per_shard
+    width = sh.indices.shape[1]
+
+    def body(indptr, indices, nnz_local, lab):
+        indptr_l = indptr[0]
+        indices_l = indices[0]
+        cnt = nnz_local[0]
+        shard_id = jax.lax.axis_index(axis)
+        grow = shard_id * rows + _local_row_of(indptr_l, width)
+        valid = (jnp.arange(width, dtype=jnp.int32) < cnt) & (grow < n)
+        crossing = valid & (
+            lab[jnp.clip(grow, 0, n - 1)] != lab[jnp.clip(indices_l, 0, n - 1)]
+        )
+        return jax.lax.psum(jnp.sum(crossing.astype(jnp.int32)), axis)
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(P(axis), P(axis), P(axis), P()), out_specs=P()
+    )
+    return fn(sh.indptr, sh.indices, sh.nnz_local, labels)
+
+
+def refine_partition(
+    sh: ShardedCSR,
+    labels,
+    k: int,
+    mesh: Mesh,
+    rounds: int = 4,
+    balance: float = 1.1,
+):
+    """Distributed boundary refinement: per-round, every shard computes
+    its rows' label affinities locally, part sizes are ``psum``'d, and
+    positive-gain moves into under-capacity parts are applied (the
+    "partition refinement with psum'd gain reduction" north-star item,
+    SURVEY.md §2.13/§7 phase 5). Overshoot self-corrects next round since
+    sizes are re-reduced. Returns the refined replicated labels."""
+    axis = sh.axis
+    n, m = sh.shape
+    rows = sh.rows_per_shard
+    width = sh.indices.shape[1]
+    cap = balance * n / k
+
+    def step(indptr, indices, nnz_local, lab):
+        indptr_l = indptr[0]
+        indices_l = indices[0]
+        cnt = nnz_local[0]
+        shard_id = jax.lax.axis_index(axis)
+        row_base = shard_id * rows
+        lrow = _local_row_of(indptr_l, width)
+        valid = jnp.arange(width, dtype=jnp.int32) < cnt
+        counts = (
+            jnp.zeros((rows, k), jnp.float32)
+            .at[lrow, lab[jnp.clip(indices_l, 0, n - 1)]]
+            .add(valid.astype(jnp.float32))
+        )
+        grows = row_base + jnp.arange(rows)
+        in_range = grows < n
+        cur = lab[jnp.clip(grows, 0, n - 1)]
+        local_sizes = jnp.zeros((k,), jnp.float32).at[cur].add(
+            in_range.astype(jnp.float32)
+        )
+        sizes = jax.lax.psum(local_sizes, axis)
+        # gain of moving each local row to each part; full parts excluded
+        full = sizes >= cap
+        cur_aff = jnp.take_along_axis(counts, cur[:, None], axis=1)[:, 0]
+        masked = jnp.where(full[None, :], -jnp.inf, counts)
+        masked = masked.at[jnp.arange(rows), cur].set(-jnp.inf)
+        best = jnp.argmax(masked, axis=1).astype(jnp.int32)
+        gain = jnp.where(in_range, jnp.max(masked, axis=1) - cur_aff, -jnp.inf)
+        return gain[None, :], best[None, :], sizes
+
+    step_fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P()),
+    )
+
+    def cut_body(indptr, indices, nnz_local, lab):
+        indptr_l = indptr[0]
+        indices_l = indices[0]
+        cnt = nnz_local[0]
+        shard_id = jax.lax.axis_index(axis)
+        grow = shard_id * rows + _local_row_of(indptr_l, width)
+        valid = (jnp.arange(width, dtype=jnp.int32) < cnt) & (grow < n)
+        crossing = valid & (
+            lab[jnp.clip(grow, 0, n - 1)] != lab[jnp.clip(indices_l, 0, n - 1)]
+        )
+        return jax.lax.psum(jnp.sum(crossing.astype(jnp.int32)), axis)
+
+    cut_fn = shard_map(
+        cut_body, mesh=mesh, in_specs=(P(axis), P(axis), P(axis), P()), out_specs=P()
+    )
+
+    @jax.jit
+    def run(indptr, indices, nnz_local, labels):
+        def body(_, state):
+            lab, best_lab, best_cut = state
+            gain_sh, best_sh, sizes = step_fn(indptr, indices, nnz_local, lab)
+            gain = gain_sh.reshape(-1)[:n]
+            best = best_sh.reshape(-1)[:n]
+            # admission control on the replicated state: movers ranked by
+            # gain within each target part; only headroom-many admitted —
+            # a whole round can never push a part past the cap
+            headroom = jnp.maximum(jnp.floor(cap - sizes), 0.0)
+            order = jnp.lexsort((jnp.arange(n), -gain, best))
+            best_s = best[order]
+            pos = jnp.arange(n)
+            start = jnp.full((k,), n).at[best_s].min(pos)
+            rank = pos - start[best_s]
+            admit_s = (gain[order] > 0) & (rank < headroom[best_s])
+            admit = jnp.zeros((n,), bool).at[order].set(admit_s)
+            new_lab = jnp.where(admit, best, lab)
+            # simultaneous moves can conflict and raise the cut; keep the
+            # best labeling seen so the result is monotone vs the input
+            new_cut = cut_fn(indptr, indices, nnz_local, new_lab)
+            better = new_cut < best_cut
+            best_lab = jnp.where(better, new_lab, best_lab)
+            best_cut = jnp.where(better, new_cut, best_cut)
+            return new_lab, best_lab, best_cut
+
+        cut0 = cut_fn(indptr, indices, nnz_local, labels)
+        _, best_lab, _ = jax.lax.fori_loop(
+            0, rounds, body, (labels, labels, cut0)
+        )
+        return best_lab
+
+    return run(sh.indptr, sh.indices, sh.nnz_local, jnp.asarray(labels))
+
+
+def structure_features(sh: ShardedCSR, mesh: Mesh):
+    """Distributed bandwidth / profile / nnz in one pass: per-shard
+    reductions combined with ``psum``/``pmax`` (the GraphFeatureBase
+    scalars over a sharded matrix). Returns a dict of replicated scalars."""
+    axis = sh.axis
+    n, m = sh.shape
+    rows = sh.rows_per_shard
+    width = sh.indices.shape[1]
+
+    def body(indptr, indices, nnz_local):
+        indptr_l = indptr[0]
+        indices_l = indices[0]
+        cnt = nnz_local[0]
+        shard_id = jax.lax.axis_index(axis)
+        grow = (shard_id * rows + _local_row_of(indptr_l, width)).astype(jnp.int32)
+        valid = (jnp.arange(width, dtype=jnp.int32) < cnt) & (grow < n)
+        span = jnp.where(valid, jnp.abs(grow - indices_l) + 1, 0)
+        bw = jax.lax.pmax(jnp.max(span), axis)
+        # profile: sum over rows of (row - min col) for rows with entries
+        mincol = (
+            jnp.full((rows,), jnp.iinfo(jnp.int32).max, jnp.int32)
+            .at[_local_row_of(indptr_l, width)]
+            .min(jnp.where(valid, indices_l, jnp.iinfo(jnp.int32).max))
+        )
+        grows = (shard_id * rows + jnp.arange(rows)).astype(jnp.int32)
+        has = (indptr_l[1:] > indptr_l[:-1]) & (grows < n)
+        # f32 accumulation: x64 is unavailable on this TPU config and int32
+        # overflows past 2^31; f32 keeps ~7 digits which property tests use
+        prof_local = jnp.sum(
+            jnp.where(has, jnp.maximum(grows - mincol, 0), 0).astype(jnp.float32)
+        )
+        prof = jax.lax.psum(prof_local, axis)
+        nnz = jax.lax.psum(cnt.astype(jnp.int32), axis)
+        return bw, prof, nnz
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)), out_specs=(P(), P(), P())
+    )
+    bw, prof, nnz = fn(sh.indptr, sh.indices, sh.nnz_local)
+    return {"bandwidth": bw, "profile": prof, "nnz": nnz}
+
+
 def label_prop_partition(
     sh: ShardedCSR,
     k: int,

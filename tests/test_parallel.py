@@ -164,3 +164,50 @@ class TestWeakScaling:
             assert r["n"] == 256 * d
             assert r["spmv_s"] > 0
         assert out[1]["spmv_efficiency"] == 1.0
+
+
+class TestRefinePartition:
+    def test_reduces_edge_cut(self, mesh, rng):
+        from sparsebase_tpu.parallel import edge_cut, refine_partition
+
+        csr = random_csr(rng, n=96, avg_deg=6)
+        sh = ShardedCSR.from_csr(csr, mesh)
+        k = 4
+        labels0 = jnp.asarray((np.arange(96) * k // 96).astype(np.int32))
+        # scramble a third of the labels so there is something to refine
+        scr = rng.integers(0, 96, 32)
+        labels0 = labels0.at[scr].set(jnp.asarray(rng.integers(0, k, 32), jnp.int32))
+        cut0 = int(edge_cut(sh, labels0, mesh))
+        labels1 = refine_partition(sh, labels0, k, mesh, rounds=4)
+        cut1 = int(edge_cut(sh, labels1, mesh))
+        assert labels1.shape == (96,)
+        assert int(jnp.max(labels1)) < k and int(jnp.min(labels1)) >= 0
+        assert cut1 <= cut0, (cut0, cut1)
+        # balance: no part exceeds the cap by more than one round's drift
+        sizes = np.bincount(np.asarray(labels1), minlength=k)
+        assert sizes.max() <= 1.3 * 96 / k
+
+    def test_edge_cut_matches_host(self, mesh, rng):
+        from sparsebase_tpu.parallel import edge_cut
+
+        csr = random_csr(rng, n=64, avg_deg=5)
+        sh = ShardedCSR.from_csr(csr, mesh)
+        labels = jnp.asarray(rng.integers(0, 3, 64).astype(np.int32))
+        got = int(edge_cut(sh, labels, mesh))
+        lab = np.asarray(labels)
+        row = np.repeat(np.arange(64), np.diff(np.asarray(csr.indptr)))
+        want = int((lab[row] != lab[np.asarray(csr.indices)]).sum())
+        assert got == want
+
+
+class TestStructureFeatures:
+    def test_matches_host_features(self, mesh, rng):
+        from sparsebase_tpu.ops.feature import Bandwidth, Profile
+        from sparsebase_tpu.parallel import structure_features
+
+        csr = random_csr(rng, n=80, avg_deg=4)
+        sh = ShardedCSR.from_csr(csr, mesh)
+        feats = structure_features(sh, mesh)
+        assert int(feats["nnz"]) == csr.nnz
+        assert int(feats["bandwidth"]) == int(Bandwidth().get_bandwidth(csr))
+        assert int(feats["profile"]) == int(Profile().get_profile(csr))
