@@ -92,6 +92,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, _I64P, _I64P, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, _I64P,
         ]
+        lib.sbtpu_jaccard.restype = ctypes.c_int64
+        lib.sbtpu_jaccard.argtypes = [
+            ctypes.c_int64, _I64P, _I64P, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.sbtpu_triangles.restype = ctypes.c_int64
+        lib.sbtpu_triangles.argtypes = [
+            ctypes.c_int64, _I64P, _I64P, ctypes.c_int, _I64P,
+        ]
         _lib = lib
         return _lib
 
@@ -178,6 +186,32 @@ def nested_dissection(n, indptr, indices, seed, ufactor, niter, leaf_size) -> np
     if rc != 0:
         raise RuntimeError("graphkit nested_dissection failed")
     return out
+
+
+def jaccard(n, indptr, indices, nnz) -> np.ndarray:
+    lib = _load()
+    ip, ix = _csr64(indptr, indices)
+    out = np.empty(nnz, np.float32)
+    rc = lib.sbtpu_jaccard(
+        n, ip.ctypes.data_as(_I64P), ix.ctypes.data_as(_I64P),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise RuntimeError("graphkit jaccard failed")
+    return out
+
+
+def triangles(n, indptr, indices, directed) -> int:
+    lib = _load()
+    ip, ix = _csr64(indptr, indices)
+    out = np.zeros(1, np.int64)
+    rc = lib.sbtpu_triangles(
+        n, ip.ctypes.data_as(_I64P), ix.ctypes.data_as(_I64P),
+        int(bool(directed)), out.ctypes.data_as(_I64P),
+    )
+    if rc != 0:
+        raise RuntimeError("graphkit triangles failed")
+    return int(out[0])
 
 
 def partition_kway(n, indptr, indices, ewts, k, seed, ufactor, niter) -> np.ndarray:

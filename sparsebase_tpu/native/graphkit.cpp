@@ -780,6 +780,107 @@ int64_t sbtpu_amd(int64_t n, const int64_t* indptr, const int64_t* indices,
 }
 
 // ---------------------------------------------------------------------------
+// Per-edge Jaccard weights (mirror of ops/feature/jaccard.py::_jaccard_host:
+// J(u,v) = |N(u)∩N(v)| / (deg u + deg v − |∩|) per directed CSR entry;
+// reference kernel: feature/jaccard_weights_cuda.cu)
+// ---------------------------------------------------------------------------
+
+int64_t sbtpu_jaccard(int64_t n, const int64_t* indptr, const int64_t* indices,
+                      float* out_w) {
+  if (n <= 0) return 0;
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t u = 0; u < n; ++u) {
+    int64_t du = indptr[u + 1] - indptr[u];
+    for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e) {
+      int64_t v = indices[e];
+      int64_t dv = indptr[v + 1] - indptr[v];
+      // two-pointer intersection of sorted N(u), N(v)
+      int64_t a = indptr[u], b = indptr[v], inter = 0;
+      while (a < indptr[u + 1] && b < indptr[v + 1]) {
+        int64_t xa = indices[a], xb = indices[b];
+        if (xa == xb) {
+          ++inter;
+          ++a;
+          ++b;
+        } else if (xa < xb) {
+          ++a;
+        } else {
+          ++b;
+        }
+      }
+      int64_t uni = du + dv - inter;
+      out_w[e] = (float)((double)inter / (double)std::max<int64_t>(uni, 1));
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Triangle counting (mirror of ops/feature/triangles.py; reference
+// semantics: feature/triangle_count.cc — undirected u<v<w triples,
+// directed 3-cycles anchored at the minimum vertex)
+// ---------------------------------------------------------------------------
+
+int64_t sbtpu_triangles(int64_t n, const int64_t* indptr, const int64_t* indices,
+                        int directed, int64_t* out_count) {
+  if (n <= 0) {
+    *out_count = 0;
+    return 0;
+  }
+  int64_t total = 0;
+  if (!directed) {
+    // predecessor lists P(x) = {u < x : (u,x) ∈ E}, sorted (u ascending)
+    vector<int64_t> pc(n + 1, 0);
+    for (int64_t u = 0; u < n; ++u)
+      for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e)
+        if (indices[e] > u) ++pc[indices[e] + 1];
+    for (int64_t i = 0; i < n; ++i) pc[i + 1] += pc[i];
+    vector<int64_t> pi(pc[n]);
+    vector<int64_t> cur(pc.begin(), pc.end() - 1);
+    for (int64_t u = 0; u < n; ++u)
+      for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e)
+        if (indices[e] > u) pi[cur[indices[e]]++] = u;
+    // for each edge (v,w), v<w: |P(v) ∩ P(w)|
+#pragma omp parallel for schedule(dynamic, 64) reduction(+ : total)
+    for (int64_t v = 0; v < n; ++v)
+      for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+        int64_t w = indices[e];
+        if (w <= v) continue;
+        int64_t a = pc[v], b = pc[w];
+        while (a < pc[v + 1] && b < pc[w + 1]) {
+          int64_t xa = pi[a], xb = pi[b];
+          if (xa == xb) {
+            ++total;
+            ++a;
+            ++b;
+          } else if (xa < xb) {
+            ++a;
+          } else {
+            ++b;
+          }
+        }
+      }
+  } else {
+    // directed 3-cycles u→v→w→u anchored at min vertex u: edges u→v with
+    // u<v, then w ∈ N(v) with w>u and edge w→u present
+#pragma omp parallel for schedule(dynamic, 64) reduction(+ : total)
+    for (int64_t u = 0; u < n; ++u)
+      for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e) {
+        int64_t v = indices[e];
+        if (v <= u) continue;
+        for (int64_t e2 = indptr[v]; e2 < indptr[v + 1]; ++e2) {
+          int64_t w = indices[e2];
+          if (w <= u) continue;
+          if (std::binary_search(indices + indptr[w], indices + indptr[w + 1], u))
+            ++total;
+        }
+      }
+  }
+  *out_count = total;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Multilevel k-way partition (METIS_PartGraphKway-equivalent; own design)
 // ---------------------------------------------------------------------------
 

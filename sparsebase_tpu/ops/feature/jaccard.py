@@ -92,6 +92,17 @@ class JaccardWeights(Feature):
     def _impl(formats, params):
         csr: CSR = formats[0]
         if xp_for(csr.indptr) is np:
+            from ... import native
+
+            if native.available():
+                return DenseArray(
+                    native.jaccard(
+                        csr.nrows,
+                        np.asarray(csr.indptr),
+                        np.asarray(csr.indices),
+                        csr.nnz,
+                    )
+                )
             return DenseArray(_jaccard_host(csr))
         return DenseArray(_jaccard_device(csr))
 

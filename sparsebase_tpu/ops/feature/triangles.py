@@ -136,6 +136,15 @@ class TriangleCount(Feature):
     @staticmethod
     def _impl(formats, params: TriangleCountParams):
         csr: CSR = formats[0].to_host()
+        from ... import native
+
+        if native.available():
+            return native.triangles(
+                csr.nrows,
+                np.asarray(csr.indptr),
+                np.asarray(csr.indices),
+                params.count_directed,
+            )
         if params.count_directed:
             return _directed_count(csr)
         return _undirected_count(csr)

@@ -172,3 +172,45 @@ class TestFallbackEquivalence:
         on_sb = np.asarray(SlashburnReorder(8).get_reorder(csr))
         np.testing.assert_array_equal(off_rcm, on_rcm)
         np.testing.assert_array_equal(off_sb, on_sb)
+
+
+class TestJaccardTrianglesParity:
+    def test_jaccard_matches_numpy(self, no_native):
+        from sparsebase_tpu.ops.feature.jaccard import _jaccard_host
+
+        for seed in range(3):
+            csr = rand_csr(120, 120, 900, seed + 30)
+            py = _jaccard_host(csr)
+            nat = native.jaccard(
+                csr.nrows, np.asarray(csr.indptr), np.asarray(csr.indices), csr.nnz
+            )
+            np.testing.assert_array_equal(py, nat)
+
+    @pytest.mark.parametrize("directed", [False, True])
+    def test_triangles_match_numpy_and_oracle(self, directed, no_native):
+        from sparsebase_tpu.ops.feature.triangles import (
+            _directed_count,
+            _undirected_count,
+        )
+
+        for seed in range(3):
+            csr = rand_csr(80, 80, 800, seed + 40)
+            if not directed:
+                # symmetrize for the undirected definition
+                d = (np.asarray(csr.to_dense()) != 0)
+                d = d | d.T
+                r, c = np.nonzero(d)
+                import sparsebase_tpu as sb
+
+                csr = sb.COO.new(
+                    r.astype(np.int32), c.astype(np.int32), None, shape=(80, 80)
+                ).convert(sb.CSR)
+            py = _directed_count(csr) if directed else _undirected_count(csr)
+            nat = native.triangles(
+                csr.nrows, np.asarray(csr.indptr), np.asarray(csr.indices), directed
+            )
+            assert py == nat
+            if not directed:
+                d = (np.asarray(csr.to_dense()) != 0).astype(np.int64)
+                np.fill_diagonal(d, 0)
+                assert nat == int(np.trace(d @ d @ d) // 6)
