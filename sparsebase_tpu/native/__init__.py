@@ -49,6 +49,14 @@ def _build() -> bool:
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
         return True
+    except subprocess.CalledProcessError as e:
+        from ..utils.logger import Logger
+
+        Logger("graphkit").warning(
+            "native build failed; falling back to numpy paths:\n"
+            + e.stderr.decode(errors="replace")[:2000]
+        )
+        return False
     except Exception:
         return False
 
@@ -91,6 +99,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sbtpu_nested_dissection.argtypes = [
             ctypes.c_int64, _I64P, _I64P, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, _I64P,
+        ]
+        lib.sbtpu_pulp.restype = ctypes.c_int64
+        lib.sbtpu_pulp.argtypes = [
+            ctypes.c_int64, _I64P, _I64P, _I64P, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int64, _I64P,
         ]
         lib.sbtpu_jaccard.restype = ctypes.c_int64
         lib.sbtpu_jaccard.argtypes = [
@@ -185,6 +198,21 @@ def nested_dissection(n, indptr, indices, seed, ufactor, niter, leaf_size) -> np
     )
     if rc != 0:
         raise RuntimeError("graphkit nested_dissection failed")
+    return out
+
+
+def pulp(n, indptr, indices, seeds, k, cap, iters) -> np.ndarray:
+    lib = _load()
+    ip, ix = _csr64(indptr, indices)
+    sd = np.ascontiguousarray(np.asarray(seeds), dtype=np.int64)
+    out = np.empty(n, np.int64)
+    rc = lib.sbtpu_pulp(
+        n, ip.ctypes.data_as(_I64P), ix.ctypes.data_as(_I64P),
+        sd.ctypes.data_as(_I64P), len(sd), int(k), float(cap), int(iters),
+        out.ctypes.data_as(_I64P),
+    )
+    if rc != 0:
+        raise RuntimeError("graphkit pulp failed")
     return out
 
 

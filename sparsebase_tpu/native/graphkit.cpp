@@ -23,6 +23,7 @@
 // Build: g++ -O3 -fopenmp -shared -fPIC -std=c++17 graphkit.cpp
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
@@ -1198,6 +1199,141 @@ int64_t sbtpu_partition_kway(int64_t n, const int64_t* indptr,
   Rng rng((uint64_t)seed * 2654435761ULL + 1);
   vector<int64_t> labels;
   kway_core(std::move(g), k, rng, ufactor, niter, labels);
+  std::memcpy(out_labels, labels.data(), n * sizeof(int64_t));
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// PULP-equivalent size-constrained label propagation (mirror of
+// ops/partition/labelprop.py: BFS seeding, penalty-tightened synchronous
+// propagation, eviction fixup, boundary refinement; reference wraps the
+// external PULP solver, partition/pulp_partition.cc:30-69)
+// ---------------------------------------------------------------------------
+
+int64_t sbtpu_pulp(int64_t n, const int64_t* indptr, const int64_t* indices,
+                   const int64_t* seeds, int64_t nseeds, int64_t k, double cap,
+                   int64_t iters, int64_t* out_labels) {
+  if (n <= 0) return 0;
+  if (k <= 1) {
+    std::fill(out_labels, out_labels + n, 0);
+    return 0;
+  }
+  vector<int64_t> labels(n, -1);
+  for (int64_t i = 0; i < nseeds; ++i) labels[seeds[i]] = i;
+  if (nseeds > 0) {
+    // min-label propagation rounds along out-edges (mirror of _bfs_seed)
+    vector<int64_t> cand(n);
+    for (int round = 0; round < 64; ++round) {
+      std::fill(cand.begin(), cand.end(), (int64_t)1 << 30);
+      for (int64_t u = 0; u < n; ++u) {
+        if (labels[u] < 0) continue;
+        for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e)
+          cand[indices[e]] = std::min(cand[indices[e]], labels[u]);
+      }
+      bool changed = false;
+      for (int64_t v = 0; v < n; ++v)
+        if (labels[v] < 0 && cand[v] < ((int64_t)1 << 30)) {
+          labels[v] = cand[v];
+          changed = true;
+        }
+      if (!changed) break;
+    }
+  }
+  for (int64_t v = 0; v < n; ++v)
+    if (labels[v] < 0) labels[v] = (v * k) / std::max<int64_t>(n, 1);
+
+  // synchronous penalty-tightened propagation (mirror of _propagate)
+  vector<int64_t> new_labels(n);
+  vector<double> cnt(k);
+  vector<double> sizes(k);
+  for (int64_t it = 0; it < iters; ++it) {
+    std::fill(sizes.begin(), sizes.end(), 0.0);
+    for (int64_t v = 0; v < n; ++v) sizes[labels[v]] += 1.0;
+    // pass 1: global max neighbor count (the numpy counts.max())
+    double gmax = 0.0;
+    for (int64_t v = 0; v < n; ++v) {
+      std::fill(cnt.begin(), cnt.end(), 0.0);
+      for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e)
+        cnt[labels[indices[e]]] += 1.0;
+      for (int64_t p = 0; p < k; ++p) gmax = std::max(gmax, cnt[p]);
+    }
+    double alpha = (double)(it + 1) / (double)iters;
+    vector<double> penalty(k);
+    for (int64_t p = 0; p < k; ++p)
+      penalty[p] =
+          alpha * std::max(sizes[p] - cap, 0.0) * (gmax + 1.0) / std::max(cap, 1.0);
+    bool changed = false;
+    for (int64_t v = 0; v < n; ++v) {
+      if (indptr[v + 1] == indptr[v]) {  // isolated stays
+        new_labels[v] = labels[v];
+        continue;
+      }
+      std::fill(cnt.begin(), cnt.end(), 0.0);
+      for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e)
+        cnt[labels[indices[e]]] += 1.0;
+      int64_t best = 0;
+      double bs = cnt[0] - penalty[0];
+      for (int64_t p = 1; p < k; ++p) {
+        double s = cnt[p] - penalty[p];
+        if (s > bs) {
+          bs = s;
+          best = p;
+        }
+      }
+      new_labels[v] = best;
+      changed |= best != labels[v];
+    }
+    labels.swap(new_labels);
+    if (!changed) break;
+  }
+
+  // eviction fixup (mirror of _balance_fixup): oversized parts move their
+  // lowest-loss members to the best under-capacity part
+  int64_t cap_i = (int64_t)std::floor(cap);
+  vector<int64_t> isz(k, 0);
+  for (int64_t v = 0; v < n; ++v) ++isz[labels[v]];
+  vector<int64_t> parts(k);
+  for (int64_t p = 0; p < k; ++p) parts[p] = p;
+  std::sort(parts.begin(), parts.end(),
+            [&](int64_t a, int64_t b) { return isz[a] > isz[b]; });
+  vector<double> aff(k);
+  for (int64_t p : parts) {
+    int64_t excess = isz[p] - cap_i;
+    if (excess <= 0) continue;
+    // gain of each member leaving p
+    vector<std::pair<double, int64_t>> movers;  // (-gain, v)
+    vector<int64_t> besta;
+    for (int64_t v = 0; v < n; ++v) {
+      if (labels[v] != p) continue;
+      std::fill(aff.begin(), aff.end(), 0.0);
+      for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e)
+        aff[labels[indices[e]]] += 1.0;
+      int64_t alt = p == 0 ? 1 : 0;
+      for (int64_t q = 0; q < k; ++q)
+        if (q != p && aff[q] > aff[alt]) alt = q;
+      movers.emplace_back(-(aff[alt] - aff[p]), v * (int64_t)k + alt);
+    }
+    std::sort(movers.begin(), movers.end());
+    int64_t moved = 0;
+    for (auto& mv : movers) {
+      if (moved >= excess) break;
+      int64_t v = mv.second / k, tgt = mv.second % k;
+      if (isz[tgt] >= cap_i) {
+        tgt = -1;
+        for (int64_t q = 0; q < k; ++q)
+          if (q != p && isz[q] < cap_i && (tgt < 0 || isz[q] < isz[tgt])) tgt = q;
+        if (tgt < 0) continue;
+      }
+      labels[v] = tgt;
+      --isz[p];
+      ++isz[tgt];
+      ++moved;
+    }
+  }
+
+  // final boundary refinement on the symmetrized graph
+  WGraph g = build_sym(n, indptr, indices, nullptr);
+  refine(g, k, cap, labels, 4);
   std::memcpy(out_labels, labels.data(), n * sizeof(int64_t));
   return 0;
 }

@@ -102,6 +102,29 @@ def label_prop_partition(csr: CSR, params: PulpPartitionParams):
         return xp.zeros((n,), dtype=xp.int32)
     cap = params.vert_balance * n / k
 
+    # native fast path (unweighted; the weighted edge-balance variant and
+    # the on-device jit path stay in the vectorized implementation below)
+    weighted = params.do_edge_balance and csr.vals is not None
+    if not weighted:
+        from ... import native
+
+        if native.available():
+            host = csr.to_host()
+            if params.do_bfs_init:
+                rng = np.random.default_rng(params.seed)
+                seeds = rng.choice(n, size=min(k, n), replace=False)
+            else:
+                seeds = np.zeros(0, np.int64)
+            return native.pulp(
+                n,
+                np.asarray(host.indptr),
+                np.asarray(host.indices),
+                seeds,
+                k,
+                cap,
+                params.num_iterations,
+            ).astype(np.int32)
+
     if params.do_bfs_init:
         labels = _bfs_seed(xp, csr, k, params.seed)
     else:
