@@ -7,8 +7,11 @@ Feature parity:
 
 * objects: ``matrix`` (``vector`` rejected, like the reference)
 * formats: ``coordinate`` and ``array``
-* fields: ``pattern``, ``real``, ``double``, ``integer`` (``complex``
-  rejected)
+* fields: ``pattern``, ``real``, ``double``, ``integer``, ``complex``
+  (the reference accepts the ``complex`` header and reads it as a
+  weighted file, mtx_reader.cc:78-80,170; here the imaginary column is
+  parsed properly — the real part is kept by default (TPU pipelines are
+  real-valued), or pass a complex ``value_dtype`` to retain both parts)
 * symmetries: ``general``, ``symmetric``, ``skew-symmetric``
   (``hermitian`` rejected); symmetric expansion mirrors off-diagonal
   entries, skew mirrors with negated values (mtx_reader.cc:430-486)
@@ -58,8 +61,6 @@ def _parse_header(line: str) -> _MTXOptions:
         raise ReaderError(f"Unknown MTX object {obj!r}")
     if fmt not in ("coordinate", "array"):
         raise ReaderError(f"Unknown MTX format {fmt!r}")
-    if field == "complex":
-        raise ReaderError("Library does not support complex MTX files")
     if field not in _FIELDS:
         raise ReaderError(f"Unknown MTX field {field!r}")
     if symmetry == "hermitian":
@@ -73,6 +74,14 @@ def _value_dtype(field: str, requested):
     if requested is not None:
         return np.dtype(requested)
     return np.dtype(np.int64) if field == "integer" else np.dtype(np.float32)
+
+
+def _combine_complex(re: np.ndarray, im: np.ndarray, dtype: np.dtype) -> np.ndarray:
+    """Complex-field values: full complex when a complex dtype is
+    requested, otherwise the real part (device pipelines are real)."""
+    if dtype.kind == "c":
+        return (re + 1j * im).astype(dtype)
+    return re.astype(dtype)
 
 
 class MTXReader:
