@@ -8,10 +8,10 @@ Feature parity:
 * objects: ``matrix`` (``vector`` rejected, like the reference)
 * formats: ``coordinate`` and ``array``
 * fields: ``pattern``, ``real``, ``double``, ``integer``, ``complex``
-  (the reference accepts the ``complex`` header and reads it as a
-  weighted file, mtx_reader.cc:78-80,170; here the imaginary column is
-  parsed properly — the real part is kept by default (TPU pipelines are
-  real-valued), or pass a complex ``value_dtype`` to retain both parts)
+  (the reference accepts the ``complex`` header and keeps only the real
+  column, mtx_reader.cc:78-80,170; here both columns are parsed — the
+  real part is kept by default (TPU pipelines are real-valued), or pass
+  a complex ``value_dtype`` (e.g. ``complex128``) to retain both parts)
 * symmetries: ``general``, ``symmetric``, ``skew-symmetric``
   (``hermitian`` rejected); symmetric expansion mirrors off-diagonal
   entries, skew mirrors with negated values (mtx_reader.cc:430-486)
@@ -141,13 +141,22 @@ class MTXReader:
         weighted = opts.field != "pattern"
         if weighted and body.shape[1] < 3:
             raise ReaderError("Weighted MTX file lacks a value column")
+        if opts.field == "complex" and body.shape[1] < 4:
+            raise ReaderError("Complex MTX file lacks an imaginary column")
         id_dtype = np.dtype(self.id_dtype) if self.id_dtype else index_dtype_for(max(nrows, ncols))
         row = body[:, 0].astype(id_dtype)
         col = body[:, 1].astype(id_dtype)
         if self.convert_to_zero_index:
             row -= 1
             col -= 1
-        vals = body[:, 2].astype(_value_dtype(opts.field, self.value_dtype)) if weighted else None
+        if not weighted:
+            vals = None
+        elif opts.field == "complex":
+            vals = _combine_complex(
+                body[:, 2], body[:, 3], _value_dtype(opts.field, self.value_dtype)
+            )
+        else:
+            vals = body[:, 2].astype(_value_dtype(opts.field, self.value_dtype))
 
         if self.upper_triangle:
             # fold to (min, max) per entry, no expansion (mtx_reader.cc:380-403)
@@ -181,16 +190,30 @@ class MTXReader:
         if len(size) != 2:
             raise ReaderError(f"Array MTX needs 2 sizes, got {size}")
         nrows, ncols = size
-        flat = body.reshape(-1)
-        if flat.shape[0] != nrows * ncols:
-            raise ReaderError(f"Expected {nrows * ncols} values, found {flat.shape[0]}")
+        flat = self._array_body_values(body, nrows * ncols)
         keep = flat != 0
         idx = np.nonzero(keep)[0]
         id_dtype = np.dtype(self.id_dtype) if self.id_dtype else index_dtype_for(max(nrows, ncols))
         row = (idx % nrows).astype(id_dtype)
         col = (idx // nrows).astype(id_dtype)
-        vals = flat[keep].astype(_value_dtype(self.options.field, self.value_dtype))
+        vals = flat[keep]
         return COO.new(row, col, vals, shape=(nrows, ncols))
+
+    def _array_body_values(self, body: np.ndarray, expected: Optional[int]) -> np.ndarray:
+        """Flatten an array-format body to the value vector, combining the
+        two-column complex body (re, im per line) when field == complex."""
+        dtype = _value_dtype(self.options.field, self.value_dtype)
+        if self.options.field == "complex":
+            flat = body.reshape(-1)
+            if flat.shape[0] % 2 != 0:
+                raise ReaderError("Complex array MTX body has an odd token count")
+            pairs = flat.reshape(-1, 2)
+            vals = _combine_complex(pairs[:, 0], pairs[:, 1], dtype)
+        else:
+            vals = body.reshape(-1).astype(dtype)
+        if expected is not None and vals.shape[0] != expected:
+            raise ReaderError(f"Expected {expected} values, found {vals.shape[0]}")
+        return vals
 
     def read_csr(self) -> CSR:
         """ReadCOO + conversion (mtx_reader.cc:573-579 parity)."""
@@ -205,8 +228,8 @@ class MTXReader:
             raise ReaderError("Cannot read a pattern MTX into a value array")
         if self.options.format == "array":
             body, size = self._read_numeric()
-            vals = body.reshape(-1).astype(_value_dtype(self.options.field, self.value_dtype))
-            return DenseArray.new(vals)
+            expected = int(np.prod(size)) if len(size) == 2 else None
+            return DenseArray.new(self._array_body_values(body, expected))
         coo = self.read_coo()
         dense = np.asarray(coo.to_dense()).reshape(-1)
         return DenseArray.new(dense.astype(_value_dtype(self.options.field, self.value_dtype)))
@@ -233,8 +256,6 @@ class MTXWriter:
             raise WriterError(f"Unsupported MTX object {object!r}")
         if format not in ("coordinate", "array"):
             raise WriterError(f"Unsupported MTX format {format!r}")
-        if field == "complex":
-            raise WriterError("Complex MTX writing is not supported")
         if field not in _FIELDS:
             raise WriterError(f"Unknown MTX field {field!r}")
         if symmetry == "hermitian":
@@ -252,6 +273,9 @@ class MTXWriter:
     def _fmt_val(self, v) -> str:
         if self.field == "integer":
             return str(int(v))
+        if self.field == "complex":
+            c = complex(v)
+            return f"{c.real!r} {c.imag!r}"
         return repr(float(v))
 
     def write_coo(self, coo: COO) -> None:

@@ -18,10 +18,10 @@ from .edge_list import EdgeListReader
 from .mtx import MTXReader
 
 
-def _body_offset(filename: str, skip_size_line: bool) -> tuple[int, tuple]:
+def _body_offset(filename: str) -> tuple[int, tuple]:
     """Byte offset of the first data line + the parsed size line."""
     offset = 0
-    size = ()
+    size = None
     with open(filename, "rb") as f:
         first = True
         for raw in f:
@@ -34,7 +34,7 @@ def _body_offset(filename: str, skip_size_line: bool) -> tuple[int, tuple]:
                 continue
             size = tuple(int(float(t)) for t in line.split())
             break
-    if not skip_size_line:
+    if size is None:
         raise ReaderError("MTX file has no size line")
     return offset, size
 
@@ -49,9 +49,11 @@ class PigoMTXReader(MTXReader):
     """MTXReader with the native parallel body parse."""
 
     def _read_numeric(self):
-        if not _fastio_enabled():
+        # complex bodies have 4 (coordinate) / 2 (array) value tokens per
+        # line; the native parser handles the 2/3-column layouts only.
+        if not _fastio_enabled() or self.options.field == "complex":
             return super()._read_numeric()
-        offset, size = _body_offset(self.filename, True)
+        offset, size = _body_offset(self.filename)
         if self.options.format == "array":
             vals = fastio.parse_values(self.filename, offset)
             return vals.reshape(-1, 1), size

@@ -130,7 +130,7 @@ class TestMTXReader:
 
     def test_bad_header(self, tmp_path):
         p = tmp_path / "m.mtx"
-        p.write_text("%%MatrixMarket matrix coordinate complex general\n1 1 0\n")
+        p.write_text("%%MatrixMarket tensor coordinate real general\n1 1 0\n")
         with pytest.raises(ReaderError):
             MTXReader(str(p))
         p.write_text("%%MatrixMarket vector coordinate real general\n1 1 0\n")
@@ -146,6 +146,51 @@ class TestMTXReader:
         MTXWriter(str(p), field="integer").write_coo(coo)
         back = MTXReader(str(p)).read_coo()
         np.testing.assert_array_equal(back.to_dense(), fx.DENSE)
+
+    def test_complex_coordinate(self, tmp_path):
+        # complex field: reference keeps the real column
+        # (mtx_reader.cc:78-80,170); a complex value_dtype keeps both.
+        p = tmp_path / "c.mtx"
+        p.write_text(
+            "%%MatrixMarket matrix coordinate complex general\n"
+            "2 2 2\n1 1 1.5 -2.0\n2 2 0.0 3.0\n"
+        )
+        real = MTXReader(str(p)).read_coo()
+        np.testing.assert_allclose(np.asarray(real.vals), [1.5, 0.0])
+        full = MTXReader(str(p), value_dtype=np.complex128).read_coo()
+        assert np.asarray(full.vals).dtype == np.complex128
+        np.testing.assert_allclose(np.asarray(full.vals), [1.5 - 2j, 3j])
+        # 3-column body under a complex header is malformed
+        p.write_text(
+            "%%MatrixMarket matrix coordinate complex general\n2 2 1\n1 1 1.5\n"
+        )
+        with pytest.raises(ReaderError):
+            MTXReader(str(p)).read_coo()
+
+    def test_complex_array(self, tmp_path):
+        p = tmp_path / "c.mtx"
+        p.write_text(
+            "%%MatrixMarket matrix array complex general\n"
+            "2 1 \n1.0 2.0\n0.0 -1.0\n"
+        )
+        arr = MTXReader(str(p), value_dtype=np.complex128).read_array()
+        np.testing.assert_allclose(np.asarray(arr.vals), [1 + 2j, -1j])
+        coo = MTXReader(str(p), value_dtype=np.complex128).read_coo()
+        assert coo.nnz == 2  # 0-1j is nonzero
+        real_default = MTXReader(str(p)).read_array()
+        np.testing.assert_allclose(np.asarray(real_default.vals), [1.0, 0.0])
+
+    def test_complex_roundtrip(self, tmp_path):
+        p = tmp_path / "c.mtx"
+        row = np.array([0, 1], np.int32)
+        col = np.array([1, 0], np.int32)
+        vals = np.array([1 + 2j, -3.5j], np.complex128)
+        from sparsebase_tpu.formats.coo import COO
+
+        coo = COO.new(row, col, vals, shape=(2, 2))
+        MTXWriter(str(p), field="complex").write_coo(coo)
+        back = MTXReader(str(p), value_dtype=np.complex128).read_coo()
+        np.testing.assert_allclose(np.asarray(back.vals), vals)
 
     def test_roundtrip_pattern(self, tmp_path):
         p = tmp_path / "rt.mtx"
