@@ -41,13 +41,77 @@ def _indptr_from_counts(xp, counts, nnz_dtype):
     return xp.concatenate([zero, xp.cumsum(counts).astype(nnz_dtype)])
 
 
+def indptr_from_sorted_rows(row, nrows: int, nnz: int):
+    """CSR ``indptr`` from a row-major-sorted COO row array — device kernel.
+
+    The histogram formulation (``bincount`` = scatter-add) costs ~6.6 ns/nnz
+    on v5e (measured, tools/microbench.py); this boundary formulation costs
+    one unstable 1-key sort (~3.2 ns/nnz) plus O(n) work:
+
+    1. mark run heads (``row[k] != row[k-1]``) — each real row id appears
+       exactly once among the heads, already in ascending row order;
+    2. sort ``(key, position)`` where ``key = row`` at heads and ``nrows``
+       (a dummy that sorts last) elsewhere — this *compacts* the ≤ nrows
+       head positions to the front without a dynamic-shape mask;
+    3. scatter the head positions into a dense ``(nrows+1,)`` array
+       initialised to ``nnz`` and close gaps (empty rows) with a reverse
+       ``cummin``.
+
+    Parity: the sequential counting loop of CooCsrFunctionConditional
+    (reference: src/sparsebase/converter/converter_order_two.cc:163-214).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dt = row.dtype
+    pos = jnp.arange(nnz, dtype=dt)
+    prev = jnp.concatenate([jnp.full((1,), -1, dt), row[:-1]])
+    key = jnp.where(row != prev, row, jnp.asarray(nrows, dt))
+    skey, spos = jax.lax.sort((key, pos), num_keys=1, is_stable=False)
+    m = min(nrows, nnz)
+    # dummies (key == nrows) land in the sentinel slot and are overwritten
+    starts = (
+        jnp.full((nrows + 1,), nnz, dt)
+        .at[skey[:m]]
+        .set(spos[:m], mode="drop")
+        .at[nrows]
+        .set(jnp.asarray(nnz, dt))
+    )
+    # empty rows inherit the next non-empty row's start
+    return jax.lax.cummin(starts, reverse=True)
+
+
+def expand_row_table(table, indptr, nnz: int, out_dtype=None):
+    """``out[k] = table[r(k)]`` for integer ``table`` over CSR row blocks —
+    without an nnz-sized random gather (~8.8 ns/nnz on v5e): the value is
+    piecewise constant over the contiguous row blocks, so scatter per-row
+    deltas at the row starts and prefix-sum (~0.6 ns/nnz). Empty rows stack
+    their deltas on one slot (the add telescopes); trailing empty rows
+    scatter out of bounds and are dropped. Integer tables only (float
+    deltas would accumulate rounding)."""
+    import jax.numpy as jnp
+
+    out_dtype = out_dtype or table.dtype
+    t = table.astype(jnp.int32)
+    deltas = jnp.concatenate([t[:1], t[1:] - t[:-1]])
+    return jnp.cumsum(
+        jnp.zeros((max(nnz, 1),), jnp.int32).at[indptr[:-1]].add(deltas, mode="drop")
+    )[:nnz].astype(out_dtype)
+
+
 def coo_to_csr(coo: COO) -> CSR:
-    """Counting + prefix-sum, relying on the row-major sort invariant
-    (parity: CooCsrFunctionConditional, converter_order_two.cc:163-214)."""
+    """COO→CSR relying on the row-major sort invariant
+    (parity: CooCsrFunctionConditional, converter_order_two.cc:163-214).
+    Host: histogram + prefix sum. Device: sorted-runs boundary kernel
+    (:func:`indptr_from_sorted_rows`), ~2x cheaper than the scatter-add
+    histogram on v5e."""
     xp = xp_for(coo.row, coo.col)
     nnz_dtype = coo.row.dtype
-    counts = _bincount(xp, coo.row, coo.nrows, nnz_dtype)
-    indptr = _indptr_from_counts(xp, counts, nnz_dtype)
+    if xp is np:
+        counts = _bincount(xp, coo.row, coo.nrows, nnz_dtype)
+        indptr = _indptr_from_counts(xp, counts, nnz_dtype)
+    else:
+        indptr = indptr_from_sorted_rows(coo.row, coo.nrows, coo.nnz)
     return CSR(indptr, coo.col, coo.vals, coo.shape)
 
 

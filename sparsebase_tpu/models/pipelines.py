@@ -5,6 +5,23 @@ The reference's "models" are its example/tutorial pipelines
 ingest → convert → reorder → permute → SpMV. These are packaged here as
 jittable pytree→pytree functions — the compute-path showcase of the
 framework.
+
+The op mix is tuned to measured v5e primitive costs (tools/microbench.py,
+BENCH_local.md): per nnz, random gathers cost ~8.8 ns/elem, scatter-adds
+~6.6, variadic 2-key sorts ~4.1, 1-key sorts ~3.1, and streaming passes
+(cumsum, elementwise) ~0.2. The pipeline therefore:
+
+* builds ``indptr`` with the sorted-runs boundary kernel (one 1-key sort)
+  instead of a histogram scatter-add;
+* expands per-row values over nnz with delta-scatter + cumsum
+  (piecewise-constant trick) instead of nnz-sized gathers;
+* reduces the SpMV **before** the permutation sort, in source-row order
+  (cumsum + indptr diffs — order-independent per-row sums), so the
+  product array never rides the sort and the sort carries only
+  (new_row, new_col, vals);
+* keeps exactly two irreducible nnz-sized random gathers (column relabel
+  and x-vector) plus one 2-key sort — the measured XLA-primitive optimum
+  for these semantics on this chip.
 """
 
 from __future__ import annotations
@@ -12,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..convert.kernels import coo_to_csr
+from ..convert.kernels import coo_to_csr, expand_row_table, indptr_from_sorted_rows
 from ..formats.coo import COO
 from ..formats.csr import CSR
 from ..ops.permute import PermuteOrderTwoParams, _permute_csr
@@ -44,15 +61,50 @@ def spmv_csr(csr: CSR, x, method: str = "auto"):
 
 
 def preprocess_pipeline(coo: COO, x):
-    """The canonical slice (SURVEY.md §7 phase 2): COO → CSR → degree
-    reorder → permute rows/cols → SpMV. Fully jittable."""
-    csr = coo_to_csr(coo)
-    degrees = csr.indptr[1:] - csr.indptr[:-1]
-    perm = jnp.argsort(degrees, stable=True)
-    n = csr.nrows
-    order = jnp.zeros((n,), dtype=csr.indices.dtype).at[perm].set(
-        jnp.arange(n, dtype=csr.indices.dtype)
+    """The canonical slice (SURVEY.md §7 phase 2 / BASELINE.md configs):
+    COO → CSR → degree reorder → symmetric row/col permutation → SpMV.
+    Fully jittable; returns ``(permuted_csr, y)`` where ``y = P·(A@x)``
+    (= the permuted matrix applied to the permuted vector).
+
+    Parity: examples/degree_order + examples/csr_coo +
+    tutorials/004_cuda_spmv of the reference, as one fused device program.
+    """
+    n = coo.nrows
+    nnz = coo.nnz
+    idt = coo.row.dtype
+    vals = coo.vals if coo.vals is not None else jnp.ones((nnz,), x.dtype)
+
+    # -- COO→CSR (conversion) ------------------------------------------------
+    indptr = indptr_from_sorted_rows(coo.row, n, nnz)
+    degrees = indptr[1:] - indptr[:-1]
+
+    # -- degree reorder (counting-sort rank; DegreeReorder parity) -----------
+    perm = jnp.argsort(degrees, stable=True)  # perm[new] = old
+    ro = jnp.zeros((n,), idt).at[perm].set(jnp.arange(n, dtype=idt))  # ro[old]=new
+
+    # -- SpMV, reduced in source-row order (order-independent per row) -------
+    prod = vals.astype(x.dtype) * x[coo.col]  # irreducible gather #1
+    run = jnp.concatenate([jnp.zeros((1,), prod.dtype), jnp.cumsum(prod)])
+    y_old = run[indptr[1:]] - run[indptr[:-1]]
+    y = jnp.zeros((n,), prod.dtype).at[ro].set(y_old)  # y[ro[i]] = (A@x)[i]
+
+    # -- permutation: relabel + one 2-key sort --------------------------------
+    new_row = expand_row_table(ro, indptr, nnz, out_dtype=idt)
+    new_col = ro[coo.col]  # irreducible gather #2
+    _, col_s, vals_s = jax.lax.sort(
+        (new_row, new_col, vals), num_keys=2, is_stable=False
     )
-    permuted = _permute_csr([csr], PermuteOrderTwoParams(order, order))
-    x_perm = x[perm]  # gather, not scatter: x_perm[order[i]] == x[i]
-    return spmv_csr(permuted, x_perm)
+    counts_new = jnp.zeros((n,), indptr.dtype).at[ro].set(degrees)
+    new_indptr = jnp.concatenate(
+        [jnp.zeros((1,), indptr.dtype), jnp.cumsum(counts_new).astype(indptr.dtype)]
+    )
+    permuted = CSR(new_indptr, col_s, vals_s, coo.shape)
+    return permuted, y
+
+
+# Donating variant: the COO buffers are dead after the relabel/sort reads,
+# so donation lets XLA reuse them for the permuted outputs instead of
+# double-buffering — the analogue of the reference's move conversions
+# (reference: src/sparsebase/converter/converter_order_two.cc:258-341).
+# Note a donated input is consumed: callers must not reuse `coo` after.
+preprocess_pipeline_donating = jax.jit(preprocess_pipeline, donate_argnums=(0,))

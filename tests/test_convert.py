@@ -141,3 +141,113 @@ class TestGraph:
         assert len(chain) == 2
         out = g.convert(fx.make_coo(), _Wrapped)
         np.testing.assert_array_equal(np.asarray(out.inner_indptr), fx.ROW_PTR)
+
+
+class TestSortedRunsIndptr:
+    """Device kernel indptr_from_sorted_rows vs numpy histogram."""
+
+    def _check(self, rows, n):
+        import jax.numpy as jnp
+
+        from sparsebase_tpu.convert.kernels import indptr_from_sorted_rows
+
+        rows = np.sort(np.asarray(rows, np.int32))
+        got = np.asarray(indptr_from_sorted_rows(jnp.asarray(rows), n, len(rows)))
+        expect = np.concatenate(
+            [[0], np.cumsum(np.bincount(rows, minlength=n))]
+        ).astype(np.int32)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_basic(self, rng):
+        self._check(rng.integers(0, 50, 300), 50)
+
+    def test_empty_rows_and_tails(self, rng):
+        # leading, interior, trailing empty rows
+        self._check([3, 3, 5, 5, 5, 9], 12)
+
+    def test_all_one_row(self):
+        self._check([4] * 17, 8)
+
+    def test_no_entries(self):
+        self._check([], 6)
+
+    def test_more_rows_than_nnz(self, rng):
+        self._check(rng.integers(0, 1000, 37), 1000)
+
+    def test_device_coo_to_csr_uses_it(self, rng):
+        from sparsebase_tpu.convert.kernels import coo_to_csr
+
+        n = 40
+        r = np.sort(rng.integers(0, n, 200)).astype(np.int32)
+        c = rng.integers(0, n, 200).astype(np.int32)
+        v = rng.standard_normal(200).astype(np.float32)
+        coo = fx_sorted_coo(r, c, v, n)
+        csr = coo_to_csr(coo.to_device())
+        host = coo_to_csr(coo)
+        np.testing.assert_array_equal(np.asarray(csr.indptr), np.asarray(host.indptr))
+
+
+def fx_sorted_coo(r, c, v, n):
+    order = np.lexsort((c, r))
+    return COO(r[order], c[order], v[order], (n, n))
+
+
+class TestPreprocessPipeline:
+    """Flagship pipeline vs a dense numpy model of the same semantics."""
+
+    def test_matches_dense_model(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from sparsebase_tpu.models import preprocess_pipeline
+
+        n = 60
+        m = 400
+        r = rng.integers(0, n, m).astype(np.int32)
+        c = rng.integers(0, n, m).astype(np.int32)
+        v = rng.standard_normal(m).astype(np.float32)
+        coo = fx_sorted_coo(r, c, v, n)
+        x = rng.standard_normal(n).astype(np.float32)
+
+        csr_p, y = jax.jit(preprocess_pipeline)(coo.to_device(), jnp.asarray(x))
+
+        # dense model
+        A = np.zeros((n, n), np.float32)
+        np.add.at(A, (r, c), v)
+        degrees = (A != 0).sum(1)  # not nnz-degree! use histogram of rows
+        degrees = np.bincount(r, minlength=n)
+        perm = np.argsort(degrees, kind="stable")  # perm[new] = old
+        P = np.zeros((n, n), np.float32)
+        P[np.arange(n), perm] = 1.0  # P @ v gathers old rows into new order
+        A_perm = P @ A @ P.T
+        np.testing.assert_allclose(
+            np.asarray(csr_p.to_dense()), A_perm, rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(y), P @ (A @ x), rtol=1e-4, atol=1e-4)
+        # output CSR is strictly valid: sorted columns within rows
+        assert CSR(
+            np.asarray(csr_p.indptr), np.asarray(csr_p.indices),
+            np.asarray(csr_p.vals), (n, n)
+        ).is_sorted()
+
+    def test_empty_and_dense_rows(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from sparsebase_tpu.models import preprocess_pipeline
+
+        n = 16
+        r = np.array([0] * 10 + [7] * 3 + [15], np.int32)
+        c = rng.integers(0, n, len(r)).astype(np.int32)
+        v = np.ones(len(r), np.float32)
+        coo = fx_sorted_coo(r, c, v, n)
+        x = np.ones(n, np.float32)
+        csr_p, y = jax.jit(preprocess_pipeline)(coo.to_device(), jnp.asarray(x))
+        A = np.zeros((n, n), np.float32)
+        np.add.at(A, (r, c), v)
+        degrees = np.bincount(r, minlength=n)
+        perm = np.argsort(degrees, kind="stable")
+        P = np.zeros((n, n), np.float32)
+        P[np.arange(n), perm] = 1.0
+        np.testing.assert_allclose(np.asarray(csr_p.to_dense()), P @ A @ P.T, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(y), P @ (A @ x), atol=1e-5)
