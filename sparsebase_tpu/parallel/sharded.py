@@ -14,8 +14,23 @@ it):
 * ``vals``    (D, C) or None
 * ``nnz_local`` (D,)   — true nnz of each shard (pad-mask boundary)
 
+Halo metadata (optional; built by :meth:`from_csr` / :meth:`with_halo`)
+makes remote-vertex access **boundary-proportional** instead of
+replicated: for every (owner → reader) shard pair the sorted unique
+remote vertices the reader touches are precomputed, so one
+``all_to_all`` of ``(D, S)`` values replaces a dense ``(n,)`` ``psum``
+(SURVEY.md §2.13 "frontier BFS with halo exchange"):
+
+* ``halo_send``   (D, D, S) — [owner, reader, j]: owner-local row ids to
+  ship; pad slots point at row 0 (harmless — see kernels)
+* ``halo_counts`` (D, D)    — true list lengths (comm accounting)
+* ``halo_map``    (D, C)    — per-nnz index into the *extended* local
+  vector ``[R local rows | D*S halo slots]``; slot for (owner o, j) is
+  ``R + o*S + j``
+
 This is the analogue of the reference's device-resident ``CUDACSR``
-(format/cuda_csr_cuda.cuh:12-60) generalized from one GPU to a mesh.
+(format/cuda_csr_cuda.cuh:12-60) generalized from one GPU to a mesh,
+plus the distributed-memory ghost/halo structure the reference lacks.
 """
 
 from __future__ import annotations
@@ -43,6 +58,9 @@ class ShardedCSR(Format):
     nnz_local: object  # (D,)
     _shape: Tuple[int, int] = static_field(default=(0, 0))
     _axis: str = static_field(default="x")
+    halo_send: Optional[object] = None  # (D, D, S)
+    halo_counts: Optional[object] = None  # (D, D)
+    halo_map: Optional[object] = None  # (D, C)
 
     order = 2
 
@@ -66,9 +84,27 @@ class ShardedCSR(Format):
     def axis(self) -> str:
         return self._axis
 
+    @property
+    def has_halo(self) -> bool:
+        return self.halo_send is not None
+
+    @property
+    def halo_width(self) -> int:
+        """S: padded per-pair halo list length."""
+        return 0 if self.halo_send is None else int(self.halo_send.shape[2])
+
+    @property
+    def halo_bytes_per_exchange(self) -> int:
+        """True payload bytes moved by one halo value exchange (4-byte
+        elements), summed over all shard pairs — the comm-volume counter:
+        proportional to the partition boundary, not to n."""
+        if self.halo_counts is None:
+            return 0
+        return 4 * int(np.asarray(jax.device_get(self.halo_counts)).sum())
+
     # -- construction --------------------------------------------------------
     @staticmethod
-    def from_csr(csr: CSR, mesh: Mesh, axis: str = "x") -> "ShardedCSR":
+    def from_csr(csr: CSR, mesh: Mesh, axis: str = "x", halo: bool = True) -> "ShardedCSR":
         """Partition a host/device CSR into row blocks over ``mesh``."""
         csr = csr.to_host()
         indptr = np.asarray(csr.indptr).astype(np.int32)
@@ -94,6 +130,9 @@ class ShardedCSR(Format):
             li[k, :cnt] = indices[base : indptr[hi]]
             if vals is not None:
                 lv[k, :cnt] = vals[base : indptr[hi]]
+        hs = hc = hm = None
+        if halo:
+            hs, hc, hm = _build_halo(li, shard_nnz.astype(np.int64), rows, d)
         sharding = NamedSharding(mesh, PartitionSpec(axis))
         put = lambda a: jax.device_put(a, sharding)
         return ShardedCSR(
@@ -101,6 +140,132 @@ class ShardedCSR(Format):
             put(li),
             None if lv is None else put(lv),
             put(shard_nnz.astype(np.int32)),
+            (n, m),
+            axis,
+            None if hs is None else put(hs),
+            None if hc is None else put(hc),
+            None if hm is None else put(hm),
+        )
+
+    def with_halo(self) -> "ShardedCSR":
+        """Compute halo metadata for an existing ShardedCSR (host pass)."""
+        if self.has_halo:
+            return self
+        li = np.asarray(jax.device_get(self.indices))
+        nnz_local = np.asarray(jax.device_get(self.nnz_local)).astype(np.int64)
+        d, rows = self.n_shards, self.rows_per_shard
+        hs, hc, hm = _build_halo(li, nnz_local, rows, d)
+        sharding = self.indices.sharding
+        put = lambda a: jax.device_put(a, sharding)
+        return dataclasses.replace(
+            self, halo_send=put(hs), halo_counts=put(hc), halo_map=put(hm)
+        )
+
+    @staticmethod
+    def from_coo_sharded(
+        row,
+        col,
+        vals,
+        shape: Tuple[int, int],
+        mesh: Mesh,
+        axis: str = "x",
+        route_capacity: Optional[int] = None,
+    ) -> "ShardedCSR":
+        """Distributed COO→CSR ingest: the entries start sharded over the
+        mesh in arbitrary order and are routed to their row-block owners
+        with one ``all_to_all``, then sorted and converted locally — no
+        single host ever materializes the matrix (SURVEY.md §7 phase 5;
+        the distributed analogue of CooCsrFunctionConditional,
+        reference: src/sparsebase/converter/converter_order_two.cc:163-214).
+
+        ``route_capacity`` is the static per-(src,dst) bucket size (the
+        price of SPMD static shapes); overflow is detected and raised.
+        Halo metadata is not built here — call :meth:`with_halo` (host
+        pass) when the halo kernels are needed.
+        """
+        from jax import shard_map
+
+        n, m = shape
+        d = mesh.shape[axis]
+        rows = -(-n // d)
+        nnz = int(row.shape[0])
+        e = -(-nnz // d)  # entries per shard (input padding below)
+        cap = int(route_capacity) if route_capacity else max(2 * (-(-e // d)), 64)
+
+        # pad the flat COO to d*e with sentinel rows (= n → routed to the
+        # last shard's pad space and dropped by the sort/count masks)
+        pad = d * e - nnz
+        idt = jnp.int32
+        rowp = jnp.concatenate([jnp.asarray(row, idt), jnp.full((pad,), n, idt)])
+        colp = jnp.concatenate([jnp.asarray(col, idt), jnp.zeros((pad,), idt)])
+        has_vals = vals is not None
+        if has_vals:
+            valp = jnp.concatenate(
+                [jnp.asarray(vals), jnp.zeros((pad,), jnp.asarray(vals).dtype)]
+            )
+        else:
+            valp = jnp.zeros((d * e,), jnp.float32)
+
+        def body(rowl, coll, vall):
+            # local entries: (e,) each. Owner of entry = row // rows.
+            owner = jnp.minimum(rowl // rows, d - 1)
+            srt = jax.lax.sort((owner, rowl, coll, vall), num_keys=2, is_stable=False)
+            owner_s, row_s, col_s, val_s = srt
+            # bucket-local position = k - start(owner run); run starts via
+            # cummax of marked head positions (streaming, no extra sort)
+            pos = jnp.arange(e, dtype=idt)
+            head = jnp.concatenate(
+                [jnp.ones((1,), bool), owner_s[1:] != owner_s[:-1]]
+            )
+            run_start = jax.lax.cummax(jnp.where(head, pos, -1))
+            slot = pos - run_start
+            overflow_local = jnp.sum((slot >= cap).astype(jnp.int32))
+            dst = owner_s * cap + jnp.minimum(slot, cap - 1)
+            sentinel = row_s >= n
+            send_r = jnp.full((d * cap,), n, idt).at[dst].set(
+                jnp.where(sentinel, n, row_s), mode="drop"
+            )
+            send_c = jnp.zeros((d * cap,), idt).at[dst].set(col_s, mode="drop")
+            send_v = jnp.zeros((d * cap,), valp.dtype).at[dst].set(val_s, mode="drop")
+            # route: piece o goes to shard o
+            a2a = lambda x: jax.lax.all_to_all(
+                x.reshape(d, cap), axis, split_axis=0, concat_axis=0
+            ).reshape(-1)
+            recv_r, recv_c, recv_v = a2a(send_r), a2a(send_c), a2a(send_v)
+            # local sort by (row, col); pad slots (row == n) sort last
+            rr, cc, vv = jax.lax.sort(
+                (recv_r, recv_c, recv_v), num_keys=2, is_stable=False
+            )
+            shard_id = jax.lax.axis_index(axis)
+            base = shard_id * rows
+            cnt = jnp.sum((rr < n).astype(jnp.int32))
+            # local indptr: boundary scatter over local rows
+            lr = jnp.where(rr < n, rr - base, rows)
+            marks = jnp.zeros((rows,), idt).at[lr].add(1, mode="drop")
+            ip = jnp.concatenate([jnp.zeros((1,), idt), jnp.cumsum(marks)])
+            overflow = jax.lax.psum(overflow_local, axis)
+            return ip[None], rr[None], cc[None], vv[None], cnt[None], overflow[None]
+
+        fn = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(PartitionSpec(axis),) * 3,
+            out_specs=(PartitionSpec(axis),) * 6,
+        )
+        ip, rr, cc, vv, cnt, overflow = fn(rowp, colp, valp)
+        if int(np.asarray(jax.device_get(overflow))[0]) > 0:
+            raise ValueError(
+                "from_coo_sharded: routing bucket overflow — raise route_capacity "
+                f"(cap={cap})"
+            )
+        # reshard onto the caller's mesh/axis name
+        sharding = NamedSharding(mesh, PartitionSpec(axis))
+        put = lambda a: jax.device_put(a, sharding)
+        return ShardedCSR(
+            put(ip),
+            put(jnp.where(rr < n, cc, 0)),
+            put(vv) if has_vals else None,
+            put(cnt.astype(jnp.int32)),
             (n, m),
             axis,
         )
@@ -136,5 +301,48 @@ class ShardedCSR(Format):
     def __repr__(self) -> str:
         return (
             f"ShardedCSR(shape={self._shape}, shards={self.n_shards}, "
-            f"rows/shard={self.rows_per_shard}, width={self.indices.shape[1]})"
+            f"rows/shard={self.rows_per_shard}, width={self.indices.shape[1]}, "
+            f"halo={'S=%d' % self.halo_width if self.has_halo else 'none'})"
         )
+
+
+def _build_halo(li: np.ndarray, nnz_local: np.ndarray, rows: int, d: int):
+    """Host pass: per-(owner, reader) sorted unique remote vertices.
+
+    Returns (halo_send (d,d,S), halo_counts (d,d), halo_map (d,C))."""
+    width = li.shape[1]
+    lists = [[np.zeros(0, np.int64)] * d for _ in range(d)]  # [owner][reader]
+    counts = np.zeros((d, d), np.int32)
+    for r in range(d):
+        cnt = int(nnz_local[r])
+        u = np.unique(li[r, :cnt].astype(np.int64))
+        owner = np.minimum(u // rows, d - 1)
+        for o in range(d):
+            if o == r:
+                continue
+            lst = u[owner == o]
+            lists[o][r] = lst
+            counts[o, r] = len(lst)
+    s = max(int(counts.max()), 1)
+    halo_send = np.zeros((d, d, s), np.int32)
+    for o in range(d):
+        for r in range(d):
+            lst = lists[o][r]
+            halo_send[o, r, : len(lst)] = (lst - o * rows).astype(np.int32)
+    # per-nnz extended index: local col → col - r*rows; remote → R + o*s + pos
+    halo_map = np.zeros((d, width), np.int32)
+    for r in range(d):
+        cnt = int(nnz_local[r])
+        c = li[r, :cnt].astype(np.int64)
+        o = np.minimum(c // rows, d - 1)
+        local = o == r
+        hm = np.empty(cnt, np.int64)
+        hm[local] = c[local] - r * rows
+        for oo in range(d):
+            sel = (~local) & (o == oo)
+            if not sel.any():
+                continue
+            pos = np.searchsorted(lists[oo][r], c[sel])
+            hm[sel] = rows + oo * s + pos
+        halo_map[r, :cnt] = hm.astype(np.int32)
+    return halo_send, counts, halo_map

@@ -106,6 +106,37 @@ def main():
             i2,
             x2,
         )
+        # fused pair gather: one (n,2) table lookup instead of two (n,) ones
+        tbl2 = jnp.stack([tbl, tbl + 1.0], axis=1)
+        timeit("gather pair (n,2) table", lambda t, i: t[i], tbl2, idx_n)
+        # slice gather: n starts, W contiguous elements each (row-block move)
+        for w in (16, 32):
+            starts = jnp.minimum(idx_n[:n], nnz - w)
+
+            def slice_gather(src, st, w=w):
+                return jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(src, (s,), (w,))
+                )(st)
+
+            timeit(f"slice-gather n x ({w},) blocks", slice_gather, x, starts)
+        # padded row-sort with payload (within-row column sort)
+        w = 32
+        kpad = idx_n[: (nnz // w) * w].reshape(-1, w)
+        vpad = x[: (nnz // w) * w].reshape(-1, w)
+        timeit(
+            "rowsort (nnz/32,32) key+payload",
+            lambda k, v: jax.lax.sort((k, v), num_keys=1, is_stable=False, dimension=1),
+            kpad,
+            vpad,
+        )
+        timeit(
+            "sort 2key + 2 payloads",
+            lambda a, b, x, y: jax.lax.sort((a, b, x, y), num_keys=2, is_stable=False),
+            idx_n,
+            idx_nnz,
+            x,
+            x,
+        )
         # SpMV pieces
         indptr = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.searchsorted(row_sorted, jnp.arange(1, n + 1, dtype=jnp.int32)).astype(jnp.int32)]
