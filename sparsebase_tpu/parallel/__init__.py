@@ -13,9 +13,11 @@ from .dist import (
 )
 from .mesh import make_mesh, make_mesh_2d, replicated, shard_rows
 from .sharded import ShardedCSR
+from . import halo
 
 __all__ = [
     "ShardedCSR",
+    "halo",
     "make_mesh",
     "make_mesh_2d",
     "shard_rows",

@@ -190,7 +190,11 @@ class ShardedCSR(Format):
         rows = -(-n // d)
         nnz = int(row.shape[0])
         e = -(-nnz // d)  # entries per shard (input padding below)
-        cap = int(route_capacity) if route_capacity else max(2 * (-(-e // d)), 64)
+        # default capacity must cover the worst case — a row-sorted input
+        # concentrates a whole shard's entries onto one owner, so the safe
+        # bound is e. Pass route_capacity (~2·e/d) for shuffled inputs to
+        # cut the routing buffer d× at scale.
+        cap = int(route_capacity) if route_capacity else max(e, 64)
 
         # pad the flat COO to d*e with sentinel rows (= n → routed to the
         # last shard's pad space and dropped by the sort/count masks)

@@ -1,0 +1,200 @@
+"""Halo-exchange kernel tests: equivalence with the dense psum path and
+boundary-proportional communication (VERDICT round-1 item 2).
+
+The reference has no distributed layer (SURVEY.md §2.13) — these cover
+TPU-only north-star work on the virtual 8-device CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fixture as fx
+from sparsebase_tpu import COO
+from sparsebase_tpu.convert import coo_to_csr
+from sparsebase_tpu.parallel import ShardedCSR, dist, halo, make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def random_csr(rng, n=64, avg_deg=5, with_vals=True):
+    nnz = n * avg_deg
+    row = rng.integers(0, n, nnz).astype(np.int32)
+    col = rng.integers(0, n, nnz).astype(np.int32)
+    keys = np.unique(row.astype(np.int64) * n + col)
+    row = (keys // n).astype(np.int32)
+    col = (keys % n).astype(np.int32)
+    vals = rng.standard_normal(len(row)).astype(np.float32) if with_vals else None
+    return coo_to_csr(COO.new(row, col, vals, shape=(n, n)))
+
+
+def path_csr(n):
+    row = np.concatenate([np.arange(n - 1), np.arange(1, n)]).astype(np.int32)
+    col = np.concatenate([np.arange(1, n), np.arange(n - 1)]).astype(np.int32)
+    return coo_to_csr(COO.new(row, col, None, shape=(n, n)))
+
+
+class TestHaloSpmv:
+    def test_matches_dense_path_and_host(self, mesh, rng):
+        csr = random_csr(rng)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        x = rng.standard_normal(csr.ncols).astype(np.float32)
+        y_halo = np.asarray(halo.spmv(sh, jnp.asarray(x), mesh))
+        y_dense = np.asarray(dist.spmv(sh, jnp.asarray(x), mesh))
+        ref = np.asarray(csr.to_dense()) @ x
+        np.testing.assert_allclose(y_halo, ref, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(y_halo, y_dense, rtol=1e-5, atol=1e-5)
+
+    def test_pattern_matrix(self, mesh):
+        csr = path_csr(24)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        x = jnp.ones((24,), jnp.float32)
+        y = np.asarray(halo.spmv(sh, x, mesh))
+        # path graph row sums: 1 at ends, 2 inside
+        want = np.full(24, 2.0, np.float32)
+        want[0] = want[-1] = 1.0
+        np.testing.assert_allclose(y, want)
+
+    def test_requires_halo(self, mesh, rng):
+        csr = random_csr(rng)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=False)
+        with pytest.raises(ValueError, match="halo"):
+            halo.spmv(sh, jnp.ones((csr.ncols,), jnp.float32), mesh)
+
+
+class TestHaloBfs:
+    def test_path_levels(self, mesh):
+        n = 16
+        sh = ShardedCSR.from_csr(path_csr(n), mesh, halo=True)
+        levels = np.asarray(halo.bfs_levels(sh, 0, mesh))
+        np.testing.assert_array_equal(levels, np.arange(n))
+
+    def test_matches_dense_bfs(self, mesh, rng):
+        csr = random_csr(rng, n=80, avg_deg=3)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        lev_halo = np.asarray(halo.bfs_levels(sh, 0, mesh))
+        lev_dense = np.asarray(dist.bfs_levels(sh, 0, mesh))
+        np.testing.assert_array_equal(lev_halo, lev_dense)
+
+    def test_disconnected(self, mesh):
+        n = 8
+        csr = coo_to_csr(
+            COO.new(
+                np.array([0, 1], np.int32), np.array([1, 0], np.int32), None, shape=(n, n)
+            )
+        )
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        levels = np.asarray(halo.bfs_levels(sh, 0, mesh))
+        assert levels[0] == 0 and levels[1] == 1
+        assert (levels[2:] == -1).all()
+
+
+class TestHaloLabelProp:
+    def test_valid_partition(self, mesh, rng):
+        csr = random_csr(rng, n=64, avg_deg=6)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        labels = np.asarray(halo.label_prop_partition(sh, 4, mesh, num_iters=8))
+        fx.check_partition(labels, 64, 4)
+
+    def test_locality_on_blocks(self, mesh, rng):
+        # two cliques joined by one edge: 2-way label prop should cut ~1 edge
+        n = 32
+        half = n // 2
+        rows, cols = [], []
+        for blk in (0, half):
+            for i in range(half):
+                for j in range(half):
+                    if i != j:
+                        rows.append(blk + i)
+                        cols.append(blk + j)
+        rows += [half - 1, half]
+        cols += [half, half - 1]
+        csr = coo_to_csr(
+            COO.new(np.array(rows, np.int32), np.array(cols, np.int32), None, shape=(n, n))
+        )
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        labels = np.asarray(halo.label_prop_partition(sh, 2, mesh, num_iters=10))
+        cut = int(dist.edge_cut(sh, jnp.asarray(labels), mesh))
+        assert cut <= 4  # the single bridge (2 directed entries) + slack
+
+
+class TestHaloRcm:
+    def test_path_bandwidth_one(self, mesh):
+        n = 32
+        csr = path_csr(n)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        order = np.asarray(halo.rcm_reorder(sh, mesh, root=0))
+        fx.check_reorder(order, n)
+        row = np.concatenate([np.arange(n - 1), np.arange(1, n)])
+        col = np.concatenate([np.arange(1, n), np.arange(n - 1)])
+        assert np.abs(order[row] - order[col]).max() == 1
+
+    def test_valid_on_random(self, mesh, rng):
+        csr = random_csr(rng, n=48, avg_deg=2, with_vals=False)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        order = np.asarray(halo.rcm_reorder(sh, mesh, root=0))
+        fx.check_reorder(order, 48)
+
+    def test_reduces_bandwidth(self, mesh, rng):
+        # banded matrix scrambled by a random permutation: RCM must undo
+        # most of the damage
+        n = 96
+        rng2 = np.random.default_rng(7)
+        perm = rng2.permutation(n)
+        rows, cols = [], []
+        for i in range(n):
+            for j in range(max(0, i - 2), min(n, i + 3)):
+                if i != j:
+                    rows.append(perm[i])
+                    cols.append(perm[j])
+        csr = coo_to_csr(
+            COO.new(np.array(rows, np.int32), np.array(cols, np.int32), None, shape=(n, n))
+        )
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        order = np.asarray(halo.rcm_reorder(sh, mesh))
+        fx.check_reorder(order, n)
+        r, c = np.array(rows), np.array(cols)
+        bw0 = np.abs(r - c).max()
+        bw1 = np.abs(order[r] - order[c]).max()
+        assert bw1 < bw0
+        assert bw1 <= 8  # near-banded again (true band = 2)
+
+
+class TestCommVolume:
+    def test_boundary_proportional(self, mesh):
+        # path graph over 8 shards: boundary = 2 vertices per internal cut
+        n = 512
+        sh = ShardedCSR.from_csr(path_csr(n), mesh, halo=True)
+        per_step = halo.step_comm_bytes(sh)
+        # 7 internal boundaries × 2 directed halo vertices × 4 B = 56 B
+        assert per_step <= 16 * 4 * 8
+        # dense psum path moves the full (n,) per shard per step
+        assert per_step < n * 4
+
+    def test_hlo_uses_all_to_all(self, mesh):
+        sh = ShardedCSR.from_csr(path_csr(64), mesh, halo=True)
+        x = jnp.ones((64,), jnp.float32)
+        hlo = (
+            jax.jit(lambda s, v: halo.spmv(s, v, mesh))
+            .lower(sh, x)
+            .compile()
+            .as_text()
+        )
+        assert "all-to-all" in hlo
+
+    def test_halo_counts_match_boundary(self, mesh):
+        n = 512
+        sh = ShardedCSR.from_csr(path_csr(n), mesh, halo=True)
+        counts = np.asarray(jax.device_get(sh.halo_counts))
+        # each shard reads exactly 1 vertex from each neighbor shard
+        rows = sh.rows_per_shard
+        d = sh.n_shards
+        for o in range(d):
+            for r in range(d):
+                expect = 1 if abs(o - r) == 1 else 0
+                assert counts[o, r] == expect, (o, r, counts[o, r])
