@@ -128,6 +128,21 @@ class ReorderBase:
             order_c = DenseArray.new(order_c)
         return ReorderHeatmap(num_parts).get_heatmap(fmt, order_r, order_c, context=context)
 
+    @staticmethod
+    def heatmap_with_stats(fmt, order_r, order_c, num_parts: int = 8, context=None):
+        """(heatmap, stats) in one fused pass; stats = mean/max bandwidth,
+        full-block count, block bandwidth — the internal stats the
+        reference computes alongside the grid (reorder_heatmap.cc:58-106)."""
+        from .ops.reorder.heatmap import ReorderHeatmap
+
+        if not isinstance(order_r, DenseArray):
+            order_r = DenseArray.new(order_r)
+        if not isinstance(order_c, DenseArray):
+            order_c = DenseArray.new(order_c)
+        return ReorderHeatmap(num_parts).get_heatmap_with_stats(
+            fmt, order_r, order_c, context=context
+        )
+
 
 class GraphFeatureBase:
     """Parity: ``bases::GraphFeatureBase`` (bases/graph_feature_base.h:20-135)

@@ -133,11 +133,25 @@ class _NullCtx:
 
 
 def _maybe_trace(trace_dir, name):
+    """Per-kernel named profiler scope: each (preprocess, kernel, rep)
+    traces into its own ``trace_dir/<name>`` directory and is wrapped in
+    a ``TraceAnnotation`` so runs are distinguishable in the viewer
+    (reference only wall-clocks, concrete_experiment.cc:57-70; SURVEY.md
+    §5 asks for named scopes on top)."""
     if trace_dir is None:
         return _NullCtx()
+    import contextlib
+    import os
+
     import jax
 
-    return jax.profiler.trace(trace_dir)
+    @contextlib.contextmanager
+    def ctx():
+        with jax.profiler.trace(os.path.join(str(trace_dir), str(name))):
+            with jax.profiler.TraceAnnotation(str(name)):
+                yield
+
+    return ctx()
 
 
 # -- canned loaders / preprocesses (experiment_helper.h:19-100 parity) -------

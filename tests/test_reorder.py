@@ -296,6 +296,22 @@ class TestHeatmap:
         with pytest.raises(ReorderError):
             ReorderBase.heatmap(fx.make_csr(), ident, ident, num_parts=5)
 
+    def test_fused_stats(self):
+        # fixture: 3x3, nnz=4 at (0,0),(0,2),(1,1),(2,2) under natural order
+        ident = np.arange(3, dtype=np.int32)
+        heat, stats = ReorderBase.heatmap_with_stats(
+            fx.make_csr(), ident, ident, num_parts=3
+        )
+        np.testing.assert_allclose(
+            np.asarray(heat.vals).reshape(3, 3), fx.HEATMAP_NO_ORDER
+        )
+        # entries (0,1),(0,2),(1,0),(2,0): bandwidths 1,2,1,2 → mean 1.5,
+        # max 2; 4 nonempty 1x1 blocks; block bw equals entry bw here
+        assert stats["max_bw"] == 2
+        np.testing.assert_allclose(stats["mean_bw"], 1.5)
+        assert stats["num_full_blocks"] == 4
+        np.testing.assert_allclose(stats["block_mean_bw"], 1.5)
+
 
 class TestReorderBaseFacade:
     def test_reorder(self):

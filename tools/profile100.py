@@ -44,18 +44,26 @@ def timeit(name, fn, *args, reps=3):
 
 
 def main():
+    print("generating graph...", flush=True)
     row, col, vals = make_graph_on_device(N, NNZ)
+    sync(row)
     x = jnp.ones((N,), jnp.float32)
     print(f"n={N} nnz={NNZ} on {jax.devices()[0].platform}", flush=True)
 
     from sparsebase_tpu.convert.kernels import expand_row_table, indptr_from_sorted_rows
 
-    # --- current pipeline stages -----------------------------------------
-    timeit("indptr_from_sorted_rows", lambda r: indptr_from_sorted_rows(r, N, NNZ), row)
+    # most decision-critical first — results survive a timeout
+    import sparsebase_tpu as sb
+    from sparsebase_tpu.models.pipelines import preprocess_pipeline
+
+    coo = sb.COO(row, col, vals, (N, N))
+    timeit("FULL preprocess_pipeline", preprocess_pipeline, coo, x)
+
     indptr = jax.jit(lambda r: indptr_from_sorted_rows(r, N, NNZ))(row)
+    sync(indptr)
     degrees = indptr[1:] - indptr[:-1]
-    timeit("argsort n + rank scatter", lambda d: jnp.zeros((N,), jnp.int32).at[jnp.argsort(d, stable=True)].set(jnp.arange(N, dtype=jnp.int32)), degrees)
     ro = jax.jit(lambda d: jnp.zeros((N,), jnp.int32).at[jnp.argsort(d, stable=True)].set(jnp.arange(N, dtype=jnp.int32)))(degrees)
+    sync(ro)
 
     def pair_gather(ro, x, col):
         table = jnp.stack([ro, jax.lax.bitcast_convert_type(x, jnp.int32)], axis=1)
@@ -64,28 +72,21 @@ def main():
 
     timeit("pair gather (n,2) by col", pair_gather, ro, x, col)
     new_col = jax.jit(lambda ro, c: ro[c])(ro, col)
-    timeit("single gather ro[col]", lambda t, i: t[i], ro, col)
-    timeit("expand_row_table", lambda ro, ip: expand_row_table(ro, ip, NNZ, out_dtype=jnp.int32), ro, indptr)
+    sync(new_col)
     new_row = jax.jit(lambda ro, ip: expand_row_table(ro, ip, NNZ, out_dtype=jnp.int32))(ro, indptr)
+    sync(new_row)
     timeit("sort2key (nr,nc,vals)", lambda a, b, v: jax.lax.sort((a, b, v), num_keys=2, is_stable=False), new_row, new_col, vals)
-    timeit("sort1key (nr) + 2 payloads", lambda a, b, v: jax.lax.sort((a, b, v), num_keys=1, is_stable=False), new_row, new_col, vals)
-    timeit("cumsum f32 nnz", jnp.cumsum, vals)
+    timeit("expand_row_table", lambda ro, ip: expand_row_table(ro, ip, NNZ, out_dtype=jnp.int32), ro, indptr)
+    timeit("indptr_from_sorted_rows", lambda r: indptr_from_sorted_rows(r, N, NNZ), row)
+    timeit("argsort n + rank scatter", lambda d: jnp.zeros((N,), jnp.int32).at[jnp.argsort(d, stable=True)].set(jnp.arange(N, dtype=jnp.int32)), degrees)
 
     # --- candidates -------------------------------------------------------
-    # sorted-index gather (indices ascending)
     col_sorted = jax.jit(jnp.sort)(col)
+    sync(col_sorted)
     timeit("gather ro[col_sorted]", lambda t, i: t[i], ro, col_sorted)
+    timeit("sort1key (nr) + 2 payloads", lambda a, b, v: jax.lax.sort((a, b, v), num_keys=1, is_stable=False), new_row, new_col, vals)
 
-    # slice-gather: n rows x W contiguous block starting at indptr[perm[r]]
-    perm = jax.jit(lambda d: jnp.argsort(d, stable=True))(degrees)
-    starts = jnp.minimum(indptr[:-1][perm], NNZ - 64).astype(jnp.int32)
-    for W in (16, 32, 64):
-        def slice_gather(src, st, W=W):
-            return jax.vmap(lambda s: jax.lax.dynamic_slice(src, (s,), (W,)))(st)
-        timeit(f"slice-gather n x ({W},)", slice_gather, vals, starts)
-
-    # padded row-sort (key+payload) at the padded sizes
-    for W in (16, 32, 64):
+    for W in (16, 64):
         rows = NNZ // W
         kp = col[: rows * W].reshape(rows, W)
         vp = vals[: rows * W].reshape(rows, W)
@@ -95,20 +96,25 @@ def main():
             kp, vp,
         )
 
-    # scatter at nnz scale (for the dst-position formulation)
-    dst = jax.jit(lambda c: jax.random.permutation(jax.random.PRNGKey(1), NNZ).astype(jnp.int32))(col)
+    # contiguous-run gather: permutation moving whole rows (avg run = 16).
+    # src[k] = old position of the k-th element in degree-sorted row order:
+    # expand (old_start - new_start) per new row, add arange.
+    def make_src(ip, deg):
+        perm = jnp.argsort(deg, stable=True)
+        seg = deg[perm].astype(jnp.int32)
+        new_ip = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(seg)])
+        delta = ip[:-1].astype(jnp.int32)[perm] - new_ip[:-1]
+        return expand_row_table(delta, new_ip, NNZ, out_dtype=jnp.int32) + jnp.arange(
+            NNZ, dtype=jnp.int32
+        )
+
+    src = jax.jit(make_src)(indptr, degrees)
+    sync(src)
+    timeit("run-gather vals[src] (runs~16)", lambda v, s: v[s], vals, src)
+
+    dst = jax.random.permutation(jax.random.PRNGKey(1), NNZ).astype(jnp.int32)
     sync(dst)
     timeit("scatter nnz->nnz set", lambda v, d: jnp.zeros((NNZ,), v.dtype).at[d].set(v), vals, dst)
-
-    # 2-key sort with 2 payloads (composition B)
-    timeit("sort2key + 2 payloads", lambda a, b, v, w: jax.lax.sort((a, b, v, w), num_keys=2, is_stable=False), new_row, new_col, vals, vals)
-
-    # full pipeline for reference
-    import sparsebase_tpu as sb
-    from sparsebase_tpu.models.pipelines import preprocess_pipeline
-
-    coo = sb.COO(row, col, vals, (N, N))
-    timeit("FULL preprocess_pipeline", preprocess_pipeline, coo, x)
 
 
 if __name__ == "__main__":
