@@ -8,14 +8,16 @@ over a mesh with XLA collectives (``psum`` / ``all_gather``) riding ICI:
 * :func:`spmv` — row-sharded SpMV, replicated x, sharded y
 * :func:`degrees` — per-vertex degrees, sharded rows
 * :func:`bfs_levels` — level-synchronous frontier BFS; the frontier
-  exchange is a ``psum`` (the all-to-all halo exchange analogue, dense
-  for now)
+  exchange is a ``psum`` (dense; see :mod:`.halo` for the
+  boundary-proportional all_to_all variant)
 * :func:`degree_reorder` — distributed counting-sort reorder
 * :func:`label_prop_partition` — distributed size-constrained label
   propagation (PULP-style) with ``psum``'d part sizes
 
 All functions jit/compile on any mesh size — tests use the virtual
-8-device CPU mesh; the driver dry-runs the same path.
+8-device CPU mesh; the driver dry-runs the same path. Compiled runners
+are cached per (mesh, static shapes) so repeated calls pay
+tracing/compilation once.
 """
 
 from __future__ import annotations
@@ -40,13 +42,12 @@ def _local_row_of(indptr_local, width):
     return jnp.cumsum(marks) - 1
 
 
-def spmv(sh: ShardedCSR, x, mesh: Mesh):
-    """y = A @ x with A row-sharded and x replicated; y sharded by rows."""
-    axis = sh.axis
-    n, m = sh.shape
-    rows = sh.rows_per_shard
-    width = sh.indices.shape[1]
+def _statics(sh: ShardedCSR):
+    return (sh.axis, sh.shape[0], sh.n_shards, sh.rows_per_shard, sh.indices.shape[1])
 
+
+@functools.lru_cache(maxsize=None)
+def _spmv_runner(mesh, axis, n, d, rows, width):
     def body(indptr, indices, vals, nnz_local, xx):
         indptr = indptr[0]
         indices = indices[0]
@@ -64,31 +65,34 @@ def spmv(sh: ShardedCSR, x, mesh: Mesh):
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(axis),
     )
-    y = fn(sh.indptr, sh.indices, sh.vals, sh.nnz_local, x)
+    return jax.jit(fn)
+
+
+def spmv(sh: ShardedCSR, x, mesh: Mesh):
+    """y = A @ x with A row-sharded and x replicated; y sharded by rows."""
+    axis, n, d, rows, width = _statics(sh)
+    f = _spmv_runner(mesh, axis, n, d, rows, width)
+    vals = sh.vals if sh.vals is not None else jnp.ones(sh.indices.shape, jnp.float32)
+    y = f(sh.indptr, sh.indices, vals, sh.nnz_local, x)
     return y.reshape(-1)[:n]
+
+
+@functools.lru_cache(maxsize=None)
+def _degrees_runner(mesh, axis):
+    def body(indptr):
+        return indptr[:, 1:] - indptr[:, :-1]
+
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis)))
 
 
 def degrees(sh: ShardedCSR, mesh: Mesh):
     """Per-vertex degree, sharded by rows."""
-    axis = sh.axis
     n = sh.shape[0]
-
-    def body(indptr):
-        return indptr[:, 1:] - indptr[:, :-1]
-
-    fn = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis))
-    return fn(sh.indptr).reshape(-1)[:n]
+    return _degrees_runner(mesh, sh.axis)(sh.indptr).reshape(-1)[:n]
 
 
-def bfs_levels(sh: ShardedCSR, root: int, mesh: Mesh, max_iters: Optional[int] = None):
-    """Level-synchronous BFS from ``root``; returns replicated (n,) levels
-    (-1 = unreached). Frontier exchange = psum over the mesh axis."""
-    axis = sh.axis
-    n, m = sh.shape
-    rows = sh.rows_per_shard
-    width = sh.indices.shape[1]
-    iters = max_iters or n
-
+@functools.lru_cache(maxsize=None)
+def _bfs_runner(mesh, axis, n, d, rows, width, iters):
     def step(indptr, indices, nnz_local, frontier):
         # frontier: replicated (n,) bool. Local rows: global ids
         indptr_l = indptr[0]
@@ -114,7 +118,7 @@ def bfs_levels(sh: ShardedCSR, root: int, mesh: Mesh, max_iters: Optional[int] =
     )
 
     @jax.jit
-    def run(indptr, indices, nnz_local):
+    def run(indptr, indices, nnz_local, root):
         levels0 = jnp.full((n,), -1, jnp.int32).at[root].set(0)
         frontier0 = jnp.zeros((n,), bool).at[root].set(True)
 
@@ -132,7 +136,15 @@ def bfs_levels(sh: ShardedCSR, root: int, mesh: Mesh, max_iters: Optional[int] =
         levels, _, _ = jax.lax.while_loop(cond, body, (levels0, frontier0, jnp.int32(0)))
         return levels
 
-    return run(sh.indptr, sh.indices, sh.nnz_local)
+    return run
+
+
+def bfs_levels(sh: ShardedCSR, root: int, mesh: Mesh, max_iters: Optional[int] = None):
+    """Level-synchronous BFS from ``root``; returns replicated (n,) levels
+    (-1 = unreached). Frontier exchange = psum over the mesh axis."""
+    axis, n, d, rows, width = _statics(sh)
+    run = _bfs_runner(mesh, axis, n, d, rows, width, max_iters or n)
+    return run(sh.indptr, sh.indices, sh.nnz_local, jnp.asarray(root, jnp.int32))
 
 
 def degree_reorder(sh: ShardedCSR, mesh: Mesh, ascending: bool = True):
@@ -145,20 +157,8 @@ def degree_reorder(sh: ShardedCSR, mesh: Mesh, ascending: bool = True):
     return jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
 
 
-def rcm_reorder(sh: ShardedCSR, mesh: Mesh, root: int = 0, max_iters: Optional[int] = None):
-    """Distributed level-synchronous RCM over a sharded CSR.
-
-    The distributed-memory RCM recipe (PAPERS.md: Azad & Buluç,
-    "The Reverse Cuthill-McKee Algorithm in Distributed-Memory"): BFS
-    levels via the sharded frontier exchange, then rank vertices by the
-    lexicographic key (level, degree, id) — a level-synchronous
-    approximation of host RCM — and reverse. Unreached vertices (other
-    components) are appended after, in id order. Returns a replicated
-    inverse permutation."""
-    n = sh.shape[0]
-    levels = bfs_levels(sh, root, mesh, max_iters=max_iters)
-    deg = degrees(sh, mesh)
-
+@functools.lru_cache(maxsize=None)
+def _rcm_rank_runner(n):
     @jax.jit
     def rank(levels, deg):
         unreached = levels < 0
@@ -170,18 +170,31 @@ def rcm_reorder(sh: ShardedCSR, mesh: Mesh, root: int = 0, max_iters: Optional[i
         rev = jnp.where(pos < reached_count, reached_count - 1 - pos, pos)
         return rev
 
-    return rank(levels, deg)
+    return rank
 
 
-def edge_cut(sh: ShardedCSR, labels, mesh: Mesh):
-    """Total directed edge cut of a labeling: psum of per-shard counts of
-    entries whose row/col labels differ (the edge-cut reduction collective
-    from SURVEY.md §2.13's north star)."""
-    axis = sh.axis
-    n, m = sh.shape
-    rows = sh.rows_per_shard
-    width = sh.indices.shape[1]
+def rcm_reorder(sh: ShardedCSR, mesh: Mesh, root: int = 0, max_iters: Optional[int] = None):
+    """Distributed level-synchronous RCM over a sharded CSR.
 
+    The distributed-memory RCM recipe (PAPERS.md: Azad & Buluç,
+    "The Reverse Cuthill-McKee Algorithm in Distributed-Memory"): BFS
+    levels via the sharded frontier exchange, then rank vertices by the
+    lexicographic key (level, degree, id) — a level-synchronous
+    approximation of host RCM — and reverse. Unreached vertices (other
+    components) are appended after, in id order. Returns a replicated
+    inverse permutation.
+
+    The (n,)-replicated lexsort rank here is the simple/dense variant;
+    :func:`.halo.rcm_reorder` ranks distributively (counting rank over
+    psum'd histograms) with a pseudo-peripheral root pass."""
+    n = sh.shape[0]
+    levels = bfs_levels(sh, root, mesh, max_iters=max_iters)
+    deg = degrees(sh, mesh)
+    return _rcm_rank_runner(n)(levels, deg)
+
+
+@functools.lru_cache(maxsize=None)
+def _edge_cut_runner(mesh, axis, n, d, rows, width):
     def body(indptr, indices, nnz_local, lab):
         indptr_l = indptr[0]
         indices_l = indices[0]
@@ -197,29 +210,20 @@ def edge_cut(sh: ShardedCSR, labels, mesh: Mesh):
     fn = shard_map(
         body, mesh=mesh, in_specs=(P(axis), P(axis), P(axis), P()), out_specs=P()
     )
-    return fn(sh.indptr, sh.indices, sh.nnz_local, labels)
+    return jax.jit(fn)
 
 
-def refine_partition(
-    sh: ShardedCSR,
-    labels,
-    k: int,
-    mesh: Mesh,
-    rounds: int = 4,
-    balance: float = 1.1,
-):
-    """Distributed boundary refinement: per-round, every shard computes
-    its rows' label affinities locally, part sizes are ``psum``'d, and
-    positive-gain moves into under-capacity parts are applied (the
-    "partition refinement with psum'd gain reduction" north-star item,
-    SURVEY.md §2.13/§7 phase 5). Overshoot self-corrects next round since
-    sizes are re-reduced. Returns the refined replicated labels."""
-    axis = sh.axis
-    n, m = sh.shape
-    rows = sh.rows_per_shard
-    width = sh.indices.shape[1]
-    cap = balance * n / k
+def edge_cut(sh: ShardedCSR, labels, mesh: Mesh):
+    """Total directed edge cut of a labeling: psum of per-shard counts of
+    entries whose row/col labels differ (the edge-cut reduction collective
+    from SURVEY.md §2.13's north star)."""
+    axis, n, d, rows, width = _statics(sh)
+    f = _edge_cut_runner(mesh, axis, n, d, rows, width)
+    return f(sh.indptr, sh.indices, sh.nnz_local, jnp.asarray(labels))
 
+
+@functools.lru_cache(maxsize=None)
+def _refine_runner(mesh, axis, n, d, rows, width, k, rounds, cap):
     def step(indptr, indices, nnz_local, lab):
         indptr_l = indptr[0]
         indices_l = indices[0]
@@ -300,23 +304,34 @@ def refine_partition(
             return new_lab, best_lab, best_cut
 
         cut0 = cut_fn(indptr, indices, nnz_local, labels)
-        _, best_lab, _ = jax.lax.fori_loop(
-            0, rounds, body, (labels, labels, cut0)
-        )
+        _, best_lab, _ = jax.lax.fori_loop(0, rounds, body, (labels, labels, cut0))
         return best_lab
 
+    return run
+
+
+def refine_partition(
+    sh: ShardedCSR,
+    labels,
+    k: int,
+    mesh: Mesh,
+    rounds: int = 4,
+    balance: float = 1.1,
+):
+    """Distributed boundary refinement: per-round, every shard computes
+    its rows' label affinities locally, part sizes are ``psum``'d, and
+    positive-gain moves into under-capacity parts are applied (the
+    "partition refinement with psum'd gain reduction" north-star item,
+    SURVEY.md §2.13/§7 phase 5). Overshoot self-corrects next round since
+    sizes are re-reduced. Returns the refined replicated labels."""
+    axis, n, d, rows, width = _statics(sh)
+    cap = balance * n / k
+    run = _refine_runner(mesh, axis, n, d, rows, width, int(k), int(rounds), cap)
     return run(sh.indptr, sh.indices, sh.nnz_local, jnp.asarray(labels))
 
 
-def structure_features(sh: ShardedCSR, mesh: Mesh):
-    """Distributed bandwidth / profile / nnz in one pass: per-shard
-    reductions combined with ``psum``/``pmax`` (the GraphFeatureBase
-    scalars over a sharded matrix). Returns a dict of replicated scalars."""
-    axis = sh.axis
-    n, m = sh.shape
-    rows = sh.rows_per_shard
-    width = sh.indices.shape[1]
-
+@functools.lru_cache(maxsize=None)
+def _structure_runner(mesh, axis, n, d, rows, width):
     def body(indptr, indices, nnz_local):
         indptr_l = indptr[0]
         indices_l = indices[0]
@@ -346,26 +361,21 @@ def structure_features(sh: ShardedCSR, mesh: Mesh):
     fn = shard_map(
         body, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)), out_specs=(P(), P(), P())
     )
-    bw, prof, nnz = fn(sh.indptr, sh.indices, sh.nnz_local)
+    return jax.jit(fn)
+
+
+def structure_features(sh: ShardedCSR, mesh: Mesh):
+    """Distributed bandwidth / profile / nnz in one pass: per-shard
+    reductions combined with ``psum``/``pmax`` (the GraphFeatureBase
+    scalars over a sharded matrix). Returns a dict of replicated scalars."""
+    axis, n, d, rows, width = _statics(sh)
+    f = _structure_runner(mesh, axis, n, d, rows, width)
+    bw, prof, nnz = f(sh.indptr, sh.indices, sh.nnz_local)
     return {"bandwidth": bw, "profile": prof, "nnz": nnz}
 
 
-def label_prop_partition(
-    sh: ShardedCSR,
-    k: int,
-    mesh: Mesh,
-    num_iters: int = 10,
-    balance: float = 1.1,
-):
-    """Distributed size-constrained label propagation (PULP-equivalent,
-    distributed): labels replicated, per-shard neighbor counts, psum'd
-    part sizes; returns replicated (n,) labels."""
-    axis = sh.axis
-    n, m = sh.shape
-    rows = sh.rows_per_shard
-    width = sh.indices.shape[1]
-    cap = balance * n / k
-
+@functools.lru_cache(maxsize=None)
+def _labelprop_runner(mesh, axis, n, d, rows, width, k, num_iters, cap):
     def step(indptr, indices, nnz_local, labels, alpha):
         indptr_l = indptr[0]
         indices_l = indices[0]
@@ -414,4 +424,20 @@ def label_prop_partition(
 
         return jax.lax.fori_loop(0, num_iters, body, labels0)
 
+    return run
+
+
+def label_prop_partition(
+    sh: ShardedCSR,
+    k: int,
+    mesh: Mesh,
+    num_iters: int = 10,
+    balance: float = 1.1,
+):
+    """Distributed size-constrained label propagation (PULP-equivalent,
+    distributed): labels replicated, per-shard neighbor counts, psum'd
+    part sizes; returns replicated (n,) labels."""
+    axis, n, d, rows, width = _statics(sh)
+    cap = balance * n / k
+    run = _labelprop_runner(mesh, axis, n, d, rows, width, int(k), int(num_iters), cap)
     return run(sh.indptr, sh.indices, sh.nnz_local)

@@ -15,8 +15,8 @@ Kernels (all equivalent to their dense :mod:`.dist` counterparts, which
 the tests verify):
 
 * :func:`spmv` — row-sharded SpMV with sharded x and halo gather
-* :func:`bfs_levels` — pull-style level-synchronous BFS; the frontier
-  bits of remote neighbors arrive via the halo exchange
+* :func:`bfs_levels` — push-style level-synchronous BFS; marks on remote
+  out-neighbors ride the reverse halo all_to_all back to their owners
 * :func:`label_prop_partition` — sharded labels; per-iteration halo
   exchange of neighbor labels + a ``psum`` of the (k,) part sizes
 * :func:`rcm_reorder` — distributed RCM: pseudo-peripheral root search
@@ -26,6 +26,9 @@ the tests verify):
   over (level, degree-bucket) histograms — comm is O(D · buckets),
   independent of n, replacing round 1's replicated global lexsort.
 
+Compiled runners are cached per (mesh, static shapes) so repeated calls
+— experiment loops, scaling sweeps — pay tracing/compilation once.
+
 The reference has no distributed layer at all (its only inter-device
 path is a CUDA P2P memcpy, converter/converter_cuda.cu:12-22); this
 module is north-star work on top of parity.
@@ -33,6 +36,7 @@ module is north-star work on top of parity.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -84,15 +88,16 @@ def _pad_vec(x, d, rows, n, fill=0):
     return xp.reshape(d, rows)
 
 
-def spmv(sh: ShardedCSR, x, mesh: Mesh):
-    """y = A @ x with A row-sharded and x *sharded* (not replicated):
-    remote x entries arrive via the halo all_to_all."""
-    _require_halo(sh)
-    axis = sh.axis
-    n, m = sh.shape
-    d, rows = sh.n_shards, sh.rows_per_shard
-    width = sh.indices.shape[1]
+def _statics(sh: ShardedCSR):
+    return (sh.axis, sh.shape[0], sh.n_shards, sh.rows_per_shard,
+            sh.indices.shape[1], sh.halo_width)
 
+
+# --------------------------------------------------------------------------
+# SpMV
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _spmv_runner(mesh, axis, n, d, rows, width, halo_s):
     def body(indptr, vals, nnz_local, halo_send, halo_map, xx):
         ip, v, cnt = indptr[0], vals[0], nnz_local[0]
         ext = _exchange(xx[0], halo_send[0], axis)
@@ -102,37 +107,28 @@ def spmv(sh: ShardedCSR, x, mesh: Mesh):
         return jax.ops.segment_sum(prod, lrow, num_segments=rows)[None]
 
     fn = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis),) * 5 + (P(axis),),
-        out_specs=P(axis),
+        body, mesh=mesh, in_specs=(P(axis),) * 6, out_specs=P(axis)
     )
+    return jax.jit(fn)
+
+
+def spmv(sh: ShardedCSR, x, mesh: Mesh):
+    """y = A @ x with A row-sharded and x *sharded* (not replicated):
+    remote x entries arrive via the halo all_to_all."""
+    _require_halo(sh)
+    axis, n, d, rows, width, halo_s = _statics(sh)
+    f = _spmv_runner(mesh, axis, n, d, rows, width, halo_s)
     vals = sh.vals if sh.vals is not None else jnp.ones(sh.indices.shape, jnp.float32)
-    y = fn(sh.indptr, vals, sh.nnz_local, sh.halo_send, sh.halo_map,
-           _pad_vec(x, d, rows, n))
+    y = f(sh.indptr, vals, sh.nnz_local, sh.halo_send, sh.halo_map,
+          _pad_vec(x, d, rows, n))
     return y.reshape(-1)[:n]
 
 
-def bfs_levels(sh: ShardedCSR, root, mesh: Mesh, max_iters: Optional[int] = None):
-    """Pull-style level-synchronous BFS; frontier and levels stay sharded,
-    each step exchanges only halo frontier bits. Returns (n,) levels
-    (-1 = unreached). ``root`` may be a traced scalar."""
-    _require_halo(sh)
-    n = sh.shape[0]
-    levels, _ = _bfs_sharded(sh, root, mesh, max_iters)
-    return levels.reshape(-1)[:n]
-
-
-def _bfs_sharded(sh: ShardedCSR, root, mesh: Mesh, max_iters: Optional[int] = None):
-    """Sharded BFS core: returns (levels (d, rows) int32, num_levels)."""
-    axis = sh.axis
-    n, _ = sh.shape
-    d, rows = sh.n_shards, sh.rows_per_shard
-    width = sh.indices.shape[1]
-    iters = max_iters or n
-
-    halo_s = sh.halo_width
-
+# --------------------------------------------------------------------------
+# BFS
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _bfs_runner(mesh, axis, n, d, rows, width, halo_s, iters):
     def step(indptr, nnz_local, halo_send, halo_map, frontier):
         # push-style (same edge direction as dist.bfs_levels): active local
         # rows mark their out-neighbors; marks on remote vertices ride the
@@ -153,12 +149,8 @@ def _bfs_sharded(sh: ShardedCSR, root, mesh: Mesh, max_iters: Optional[int] = No
         return (reached > 0)[None]
 
     step_fn = shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P(axis),) * 4 + (P(axis),),
-        out_specs=P(axis),
+        step, mesh=mesh, in_specs=(P(axis),) * 5, out_specs=P(axis)
     )
-
     gids = jnp.arange(d * rows, dtype=jnp.int32).reshape(d, rows)
 
     @jax.jit
@@ -182,27 +174,32 @@ def _bfs_sharded(sh: ShardedCSR, root, mesh: Mesh, max_iters: Optional[int] = No
         )
         return levels, it
 
+    return run
+
+
+def _bfs_sharded(sh: ShardedCSR, root, mesh: Mesh, max_iters: Optional[int] = None):
+    """Sharded BFS core: returns (levels (d, rows) int32, num_levels)."""
+    axis, n, d, rows, width, halo_s = _statics(sh)
+    run = _bfs_runner(mesh, axis, n, d, rows, width, halo_s, max_iters or n)
     return run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map,
                jnp.asarray(root, jnp.int32))
 
 
-def label_prop_partition(
-    sh: ShardedCSR,
-    k: int,
-    mesh: Mesh,
-    num_iters: int = 10,
-    balance: float = 1.1,
-):
-    """Size-constrained label propagation with **sharded** labels: each
-    iteration exchanges only halo neighbor labels (all_to_all) plus a
-    (k,) psum of part sizes. Semantics match dist.label_prop_partition."""
+def bfs_levels(sh: ShardedCSR, root, mesh: Mesh, max_iters: Optional[int] = None):
+    """Push-style level-synchronous BFS; frontier and levels stay sharded,
+    each step exchanges only halo frontier marks. Returns (n,) levels
+    (-1 = unreached). ``root`` may be a traced scalar."""
     _require_halo(sh)
-    axis = sh.axis
-    n, _ = sh.shape
-    d, rows = sh.n_shards, sh.rows_per_shard
-    width = sh.indices.shape[1]
-    cap = balance * n / k
+    n = sh.shape[0]
+    levels, _ = _bfs_sharded(sh, root, mesh, max_iters)
+    return levels.reshape(-1)[:n]
 
+
+# --------------------------------------------------------------------------
+# Label propagation
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _labelprop_runner(mesh, axis, n, d, rows, width, halo_s, k, num_iters, cap):
     def step(indptr, nnz_local, halo_send, halo_map, labels, alpha):
         ip, cnt = indptr[0], nnz_local[0]
         lab_l = labels[0]
@@ -228,10 +225,7 @@ def label_prop_partition(
         return jnp.where(keep, lab_l, new_l)[None]
 
     step_fn = shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P(axis),) * 4 + (P(axis), P()),
-        out_specs=P(axis),
+        step, mesh=mesh, in_specs=(P(axis),) * 4 + (P(axis), P()), out_specs=P(axis)
     )
 
     @jax.jit
@@ -247,56 +241,36 @@ def label_prop_partition(
 
         return jax.lax.fori_loop(0, num_iters, body, labels0)
 
+    return run
+
+
+def label_prop_partition(
+    sh: ShardedCSR,
+    k: int,
+    mesh: Mesh,
+    num_iters: int = 10,
+    balance: float = 1.1,
+):
+    """Size-constrained label propagation with **sharded** labels: each
+    iteration exchanges only halo neighbor labels (all_to_all) plus a
+    (k,) psum of part sizes. Semantics match dist.label_prop_partition."""
+    _require_halo(sh)
+    axis, n, d, rows, width, halo_s = _statics(sh)
+    cap = balance * n / k
+    run = _labelprop_runner(
+        mesh, axis, n, d, rows, width, halo_s, int(k), int(num_iters), cap
+    )
     labels = run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map)
     return labels.reshape(-1)[:n]
 
 
-def rcm_reorder(
-    sh: ShardedCSR,
-    mesh: Mesh,
-    root: int = 0,
-    max_iters: Optional[int] = None,
-    peripheral_iters: int = 2,
-    deg_buckets: int = 64,
-    max_rank_levels: int = 1024,
-):
-    """Distributed RCM with halo BFS + distributed counting rank.
-
-    1. Pseudo-peripheral root: repeated BFS, each pass restarting from a
-       minimum-degree vertex of the last level (the reference's
-       PeripheralNode loop, reorder/rcm_reorder.cc:22-81).
-    2. Rank vertices by (level, degree-bucket) via a psum'd histogram +
-       exclusive scan: global offset of each bucket + this shard's offset
-       within the bucket (all_gather of (D, buckets) counts) + the local
-       stable rank. Communication is O(D · levels · buckets) — no
-       replicated n-length sort (round 1's weak spot, VERDICT item 6).
-       Degree ties within a bucket break by (shard, local id), a
-       quality-neutral relaxation of exact-degree ties.
-    3. Reverse the reached span (Cuthill-McKee → RCM); unreached
-       components append after in id order (matching dist.rcm_reorder).
-
-    Returns the replicated inverse permutation ``order[old] = new``.
-    """
-    _require_halo(sh)
-    axis = sh.axis
-    n, _ = sh.shape
-    d, rows = sh.n_shards, sh.rows_per_shard
-    big = jnp.iinfo(jnp.int32).max
-
-    # --- peripheral root search (each pass = one sharded BFS) ------------
-    root = jnp.asarray(root, jnp.int32)
-    levels = None
-    for _ in range(max(peripheral_iters, 1)):
-        levels, _ = _bfs_sharded(sh, root, mesh, max_iters)
-        root = _min_degree_last_level(sh, levels, mesh)
-    levels, _ = _bfs_sharded(sh, root, mesh, max_iters)
-
-    deg = _local_degrees(sh, mesh)  # (d, rows) sharded
-
-    # --- distributed counting rank ---------------------------------------
-    L = int(max_rank_levels)
-    B = int(deg_buckets)
+# --------------------------------------------------------------------------
+# RCM
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _rank_runner(mesh, axis, n, d, rows, L, B):
     nb = (L + 1) * B
+    big = jnp.iinfo(jnp.int32).max
 
     def rank_body(levels, deg):
         lev = levels[0]
@@ -330,29 +304,20 @@ def rcm_reorder(
         rev = jnp.where(cm_pos < reached_count, reached_count - 1 - cm_pos, cm_pos)
         return jnp.where(valid, rev, big)[None]
 
-    rank_fn = shard_map(
-        rank_body, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis)
-    )
-    order = rank_fn(levels, deg)
-    return order.reshape(-1)[:n]
+    fn = shard_map(rank_body, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis))
+    return jax.jit(fn)
 
 
-def _local_degrees(sh: ShardedCSR, mesh: Mesh):
-    """Per-row degree, kept sharded as (d, rows)."""
+@functools.lru_cache(maxsize=None)
+def _degrees_runner(mesh, axis):
     def body(indptr):
         return indptr[:, 1:] - indptr[:, :-1]
 
-    return shard_map(
-        body, mesh=mesh, in_specs=(P(sh.axis),), out_specs=P(sh.axis)
-    )(sh.indptr)
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis)))
 
 
-def _min_degree_last_level(sh: ShardedCSR, levels, mesh: Mesh):
-    """Global id of a minimum-degree vertex on the deepest BFS level —
-    two pmin reductions (no gathers)."""
-    axis = sh.axis
-    n, _ = sh.shape
-    rows = sh.rows_per_shard
+@functools.lru_cache(maxsize=None)
+def _min_degree_last_level_runner(mesh, axis, n, d, rows):
     big = jnp.iinfo(jnp.int32).max
 
     def body(indptr, levels):
@@ -368,7 +333,51 @@ def _min_degree_last_level(sh: ShardedCSR, levels, mesh: Mesh):
         cand = on_last & (dg == min_deg)
         return jax.lax.pmin(jnp.min(jnp.where(cand, grows, big)), axis)
 
-    fn = shard_map(
-        body, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P()
+    return jax.jit(
+        shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P())
     )
-    return fn(sh.indptr, levels)
+
+
+def rcm_reorder(
+    sh: ShardedCSR,
+    mesh: Mesh,
+    root: int = 0,
+    max_iters: Optional[int] = None,
+    peripheral_iters: int = 2,
+    deg_buckets: int = 64,
+    max_rank_levels: int = 1024,
+):
+    """Distributed RCM with halo BFS + distributed counting rank.
+
+    1. Pseudo-peripheral root: repeated BFS, each pass restarting from a
+       minimum-degree vertex of the last level (the reference's
+       PeripheralNode loop, reorder/rcm_reorder.cc:22-81).
+    2. Rank vertices by (level, degree-bucket) via a psum'd histogram +
+       exclusive scan: global offset of each bucket + this shard's offset
+       within the bucket (all_gather of (D, buckets) counts) + the local
+       stable rank. Communication is O(D · levels · buckets) — no
+       replicated n-length sort (round 1's weak spot, VERDICT item 6).
+       Degree ties within a bucket break by (shard, local id), a
+       quality-neutral relaxation of exact-degree ties.
+    3. Reverse the reached span (Cuthill-McKee → RCM); unreached
+       components append after in id order (matching dist.rcm_reorder).
+
+    Returns the replicated inverse permutation ``order[old] = new``.
+    """
+    _require_halo(sh)
+    axis, n, d, rows, width, halo_s = _statics(sh)
+
+    # --- peripheral root search (each pass = one sharded BFS) ------------
+    root = jnp.asarray(root, jnp.int32)
+    peripheral = _min_degree_last_level_runner(mesh, axis, n, d, rows)
+    levels = None
+    for _ in range(max(peripheral_iters, 1)):
+        levels, _ = _bfs_sharded(sh, root, mesh, max_iters)
+        root = peripheral(sh.indptr, levels)
+    levels, _ = _bfs_sharded(sh, root, mesh, max_iters)
+
+    deg = _degrees_runner(mesh, axis)(sh.indptr)  # (d, rows) sharded
+
+    rank = _rank_runner(mesh, axis, n, d, rows, int(max_rank_levels), int(deg_buckets))
+    order = rank(levels, deg)
+    return order.reshape(-1)[:n]
