@@ -268,22 +268,21 @@ def label_prop_partition(
 # RCM
 # --------------------------------------------------------------------------
 @functools.lru_cache(maxsize=None)
-def _rank_runner(mesh, axis, n, d, rows, L, B):
-    nb = (L + 1) * B
+def _counting_rank_runner(mesh, axis, n, d, rows, nb):
+    """Distributed counting rank: global stable position of every row under
+    its integer bucket key in [0, nb) — psum'd histogram + exclusive scan +
+    per-shard offsets (all_gather of (D, nb) counts) + local stable rank.
+    Comm O(D·nb), independent of n. Invalid rows rank as INT32_MAX."""
     big = jnp.iinfo(jnp.int32).max
 
-    def rank_body(levels, deg):
-        lev = levels[0]
-        dg = deg[0]
+    def body(bucket, valid):
+        b = bucket[0]
+        v = valid[0]
         shard_id = jax.lax.axis_index(axis)
-        grows = shard_id * rows + jnp.arange(rows, dtype=jnp.int32)
-        valid = grows < n
-        lev_c = jnp.where(lev < 0, L, jnp.minimum(lev, L - 1))
-        bucket = lev_c * B + jnp.minimum(dg, B - 1)
-        hist = jnp.zeros((nb,), jnp.int32).at[bucket].add(
-            valid.astype(jnp.int32), mode="drop"
+        hist = jnp.zeros((nb,), jnp.int32).at[b].add(
+            v.astype(jnp.int32), mode="drop"
         )
-        gathered = jax.lax.all_gather(hist, axis)  # (D, nb) — O(D·nb) comm
+        gathered = jax.lax.all_gather(hist, axis)  # (D, nb)
         before = jnp.sum(
             jnp.where((jnp.arange(d) < shard_id)[:, None], gathered, 0), axis=0
         )
@@ -292,19 +291,42 @@ def _rank_runner(mesh, axis, n, d, rows, L, B):
         # local stable rank within bucket: sort (bucket, idx), positions
         # within runs via the cummax head trick
         idx = jnp.arange(rows, dtype=jnp.int32)
-        b_s, i_s = jax.lax.sort((bucket, idx), num_keys=1, is_stable=True)
+        b_s, i_s = jax.lax.sort((b, idx), num_keys=1, is_stable=True)
         pos = jnp.arange(rows, dtype=jnp.int32)
         head = jnp.concatenate([jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
         run_start = jax.lax.cummax(jnp.where(head, pos, -1))
         local_rank = jnp.zeros((rows,), jnp.int32).at[i_s].set(pos - run_start)
-        cm_pos = goffset[bucket] + before[bucket] + local_rank
-        reached_count = jax.lax.psum(
-            jnp.sum((valid & (lev >= 0)).astype(jnp.int32)), axis
-        )
-        rev = jnp.where(cm_pos < reached_count, reached_count - 1 - cm_pos, cm_pos)
-        return jnp.where(valid, rev, big)[None]
+        cm_pos = goffset[b] + before[b] + local_rank
+        return jnp.where(v, cm_pos, big)[None]
 
-    fn = shard_map(rank_body, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis))
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis))
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _parent_bucket_runner(mesh, axis, n, d, rows, width, halo_s, pb_count):
+    """Per-row parent bucket: minimum rank over BFS parents (neighbors one
+    level up; two halo exchanges + a segment min), rebased to the parent
+    level's start offset in rank space and clipped to [0, pb_count)."""
+    big = jnp.iinfo(jnp.int32).max
+
+    def body(indptr, nnz_local, halo_send, halo_map, lev, rank, level_start):
+        ip, cnt, hs, hm = indptr[0], nnz_local[0], halo_send[0], halo_map[0]
+        ext_lev = _exchange(lev[0], hs, axis)
+        ext_rank = _exchange(rank[0], hs, axis)
+        lrow = _local_row_of(ip, width)
+        valid = jnp.arange(width, dtype=jnp.int32) < cnt
+        my_lev = lev[0][lrow]
+        is_parent = valid & (ext_lev[hm] == my_lev - 1) & (my_lev > 0)
+        cand = jnp.where(is_parent, ext_rank[hm], big)
+        pmin = jnp.full((rows,), big, jnp.int32).at[lrow].min(cand, mode="drop")
+        parent_lev = jnp.clip(lev[0] - 1, 0, level_start.shape[0] - 1)
+        rel = pmin - level_start[parent_lev]
+        return jnp.clip(rel, 0, pb_count - 1)[None]
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(P(axis),) * 6 + (P(),), out_specs=P(axis)
+    )
     return jax.jit(fn)
 
 
@@ -345,7 +367,10 @@ def rcm_reorder(
     max_iters: Optional[int] = None,
     peripheral_iters: int = 2,
     deg_buckets: int = 64,
+    parent_buckets: int = 256,
+    refine_iters: Optional[int] = None,
     max_rank_levels: int = 1024,
+    max_buckets: int = 1 << 22,
 ):
     """Distributed RCM with halo BFS + distributed counting rank.
 
@@ -355,12 +380,19 @@ def rcm_reorder(
     2. Rank vertices by (level, degree-bucket) via a psum'd histogram +
        exclusive scan: global offset of each bucket + this shard's offset
        within the bucket (all_gather of (D, buckets) counts) + the local
-       stable rank. Communication is O(D · levels · buckets) — no
-       replicated n-length sort (round 1's weak spot, VERDICT item 6).
-       Degree ties within a bucket break by (shard, local id), a
-       quality-neutral relaxation of exact-degree ties.
-    3. Reverse the reached span (Cuthill-McKee → RCM); unreached
-       components append after in id order (matching dist.rcm_reorder).
+       stable rank. Communication is O(D · buckets), independent of n —
+       no replicated n-length sort (round 1's weak spot, VERDICT item 6).
+    3. ``refine_iters`` Azad-Buluç-style passes (default: one per BFS
+       level, capped at 64 — ranks finalize level-by-level like a wave):
+       each vertex takes the minimum current rank among its BFS parents
+       (one halo exchange + segment min), rebased to its parent level's
+       start offset so the bucket resolution covers the *level*, and is
+       re-ranked by (level, parent-offset bucket, degree bucket) — the
+       distributed analogue of the reference's per-parent priority-queue
+       order (rcm_reorder.cc:125-144).
+    4. Reverse the reached span (Cuthill-McKee → RCM); unreached
+       components append after in (shard, id) order (matching
+       dist.rcm_reorder).
 
     Returns the replicated inverse permutation ``order[old] = new``.
     """
@@ -374,10 +406,58 @@ def rcm_reorder(
     for _ in range(max(peripheral_iters, 1)):
         levels, _ = _bfs_sharded(sh, root, mesh, max_iters)
         root = peripheral(sh.indptr, levels)
-    levels, _ = _bfs_sharded(sh, root, mesh, max_iters)
+    levels, num_levels = _bfs_sharded(sh, root, mesh, max_iters)
+    nl = int(np.asarray(num_levels))
+    if refine_iters is None:
+        refine_iters = min(nl, 64)
 
-    deg = _degrees_runner(mesh, axis)(sh.indptr)  # (d, rows) sharded
+    # adaptive bucket budget: L tracks the real level count, and PB/B are
+    # halved until the histogram fits max_buckets (comm = D·nb ints)
+    L = min(int(max_rank_levels), nl + 1)
+    B = int(deg_buckets)
+    PB = int(parent_buckets)
+    while (L + 1) * PB * B > int(max_buckets) and PB > 2:
+        PB //= 2
+    while (L + 1) * PB * B > int(max_buckets) and B > 2:
+        B //= 2
 
-    rank = _rank_runner(mesh, axis, n, d, rows, int(max_rank_levels), int(deg_buckets))
-    order = rank(levels, deg)
+    run = _rcm_rank_orchestrator(
+        mesh, axis, n, d, rows, width, halo_s, L, B, PB,
+        int(max(refine_iters, 0)),
+    )
+    order = run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map, levels)
     return order.reshape(-1)[:n]
+
+
+@functools.lru_cache(maxsize=None)
+def _rcm_rank_orchestrator(mesh, axis, n, d, rows, width, halo_s, L, B, PB, iters):
+    parent_fn = _parent_bucket_runner(mesh, axis, n, d, rows, width, halo_s, PB)
+    rank1_fn = _counting_rank_runner(mesh, axis, n, d, rows, (L + 1) * B)
+    rank2_fn = _counting_rank_runner(mesh, axis, n, d, rows, (L + 1) * PB * B)
+
+    @jax.jit
+    def run(indptr, nnz_local, halo_send, halo_map, levels):
+        deg = _degrees_runner(mesh, axis)(indptr)
+        gids = jnp.arange(d * rows, dtype=jnp.int32).reshape(d, rows)
+        valid = gids < n
+        lev_c = jnp.where(levels < 0, L, jnp.minimum(levels, L - 1))
+        db = jnp.minimum(deg, B - 1)
+        rank = rank1_fn(lev_c * B + db, valid)
+        # level start offsets in rank space (ranks are level-major): lets
+        # the parent bucket resolve *within* the parent level
+        lev_hist = jnp.zeros((L + 2,), jnp.int32).at[
+            jnp.where(valid, lev_c, L + 1)
+        ].add(1)
+        level_start = (jnp.cumsum(lev_hist) - lev_hist).astype(jnp.int32)
+
+        def body(_, rank):
+            pb = parent_fn(indptr, nnz_local, halo_send, halo_map,
+                           levels, rank, level_start)
+            key2 = (lev_c * PB + pb) * B + db
+            return rank2_fn(key2, valid)
+
+        rank = jax.lax.fori_loop(0, iters, body, rank)
+        reached_count = jnp.sum(valid & (levels >= 0)).astype(jnp.int32)
+        return jnp.where(rank < reached_count, reached_count - 1 - rank, rank)
+
+    return run
