@@ -229,3 +229,65 @@ class TestG960FeatureParity:
             line.split() for line in (G960 / "features.txt").read_text().splitlines()
         )
         assert int(feats["triangles_undirected"]) != oracle  # reference bug
+
+
+class TestSbffByteCompat:
+    """SBFF container byte-compatibility with the reference, both ways.
+
+    ``coo.sbff`` / ``degree_order.sbff`` were written by the REFERENCE
+    binary writers (tools/parity_dump.cc; io/sparse_file_format.h:29-75)
+    — our readers must parse their bytes. ``sbff_read_*.txt`` are the
+    reference's dumps after IT read a ``csr.sbff`` written by OUR
+    writer (``parity_dump --read-sbff``) — proving the reverse
+    direction; this test regenerates our bytes and checks they match
+    the container the reference accepted.
+
+    CSR files are exchanged only in our→reference direction: the
+    reference's WriteCSR truncates col/vals to ncols elements
+    (binary_writer_order_two.cc:43-47, a reference bug), so
+    reference-written CSR goldens would be corrupt for nnz > ncols.
+    """
+
+    def test_read_reference_written_coo(self, csr):
+        from sparsebase_tpu.io.binary import BinaryReaderOrderTwo
+
+        coo = BinaryReaderOrderTwo(str(OUT / "coo.sbff")).read_coo()
+        from sparsebase_tpu.convert import coo_to_csr
+
+        ours = coo_to_csr(coo)
+        np.testing.assert_array_equal(np.asarray(ours.indptr), np.asarray(csr.indptr))
+        np.testing.assert_array_equal(np.asarray(ours.indices), np.asarray(csr.indices))
+
+    def test_read_reference_written_array(self):
+        from sparsebase_tpu.io.binary import BinaryReaderOrderOne
+
+        arr = BinaryReaderOrderOne(str(OUT / "degree_order.sbff")).read_array()
+        np.testing.assert_array_equal(
+            np.asarray(arr.vals), _load("degree_order.txt", np.int32)
+        )
+
+    def test_our_csr_bytes_accepted_by_reference(self, csr, tmp_path):
+        # the reference read our csr.sbff and dumped what it saw
+        # (sbff_read_*.txt); our writer must still produce a container
+        # whose payload matches those dumps
+        from sparsebase_tpu.io.binary import BinaryReaderOrderTwo, BinaryWriterOrderTwo
+
+        p = str(tmp_path / "ours.sbff")
+        import numpy as _np
+
+        csr32 = type(csr).new(
+            _np.asarray(csr.indptr, _np.int32),
+            _np.asarray(csr.indices, _np.int32),
+            _np.ones(csr.nnz, _np.float32),
+            csr.shape,
+        )
+        BinaryWriterOrderTwo(p).write_csr(csr32)
+        np.testing.assert_array_equal(
+            _load("sbff_read_indptr.txt"), np.asarray(csr32.indptr)
+        )
+        np.testing.assert_array_equal(
+            _load("sbff_read_indices.txt"), np.asarray(csr32.indices)
+        )
+        # and the container self-parses identically
+        back = BinaryReaderOrderTwo(p).read_csr()
+        np.testing.assert_array_equal(np.asarray(back.indptr), np.asarray(csr32.indptr))

@@ -8,6 +8,11 @@
 //       $REFBUILD/src/libsparsebase.a -o /tmp/parity_dump
 //
 // Usage: parity_dump <matrix.mtx> <outdir>
+//        parity_dump --read-sbff <csr.sbff> <outdir>
+//   (the second form makes the REFERENCE read an SBFF container written
+//    by sparsebase_tpu and dump it as text — proving our writer emits
+//    bytes the reference accepts; the first form also writes reference
+//    SBFF files our reader must parse. io/sparse_file_format.h:29-75)
 
 #include <cstdint>
 #include <fstream>
@@ -22,6 +27,9 @@
 #include "sparsebase/feature/profile.h"
 #include "sparsebase/format/csc.h"
 #include "sparsebase/format/csr.h"
+#include "sparsebase/io/binary_reader_order_two.h"
+#include "sparsebase/io/binary_writer_order_one.h"
+#include "sparsebase/io/binary_writer_order_two.h"
 #include "sparsebase/reorder/boba_reorder.h"
 #include "sparsebase/reorder/degree_reorder.h"
 #include "sparsebase/reorder/gray_reorder.h"
@@ -39,7 +47,22 @@ static void dump(const std::string& path, const T* data, int64_t n) {
   for (int64_t i = 0; i < n; ++i) f << data[i] << "\n";
 }
 
+static int read_sbff_mode(const std::string& sbff, const std::string& out) {
+  io::BinaryReaderOrderTwo<ID, NNZ, VAL> reader(sbff);
+  auto* csr = reader.ReadCSR();
+  ID n = csr->get_dimensions()[0];
+  NNZ nnz = csr->get_num_nnz();
+  dump(out + "/sbff_read_indptr.txt", csr->get_row_ptr(), n + 1);
+  dump(out + "/sbff_read_indices.txt", csr->get_col(), nnz);
+  if (csr->get_vals() != nullptr)
+    dump(out + "/sbff_read_vals.txt", csr->get_vals(), nnz);
+  std::cout << "reference read " << sbff << ": n=" << n << " nnz=" << nnz << "\n";
+  return 0;
+}
+
 int main(int argc, char** argv) {
+  if (argc == 4 && std::string(argv[1]) == "--read-sbff")
+    return read_sbff_mode(argv[2], argv[3]);
   if (argc < 3) {
     std::cerr << "usage: parity_dump <matrix.mtx> <outdir>\n";
     return 1;
@@ -106,6 +129,21 @@ int main(int argc, char** argv) {
       dperm, csr, {&cpu}, true, true);
   dump(out + "/permuted_indptr.txt", permuted->get_row_ptr(), n + 1);
   dump(out + "/permuted_indices.txt", permuted->get_col(), nnz);
+
+  // SBFF binary container written by the reference itself — golden bytes
+  // sparsebase_tpu's reader must parse (io/sparse_file_format.h:29-75).
+  // COO + Array only: the reference's WriteCSR writes col/vals with
+  // length m = ncols instead of nnz (binary_writer_order_two.cc:43-47),
+  // silently truncating any matrix with nnz > ncols — so reference-
+  // written CSR files are not usable as goldens.
+  {
+    auto* coo = bases::IOBase::ReadMTXToCOO<ID, NNZ, VAL>(mtx);
+    io::BinaryWriterOrderTwo<ID, NNZ, VAL> w2(out + "/coo.sbff");
+    w2.WriteCOO(coo);
+    format::Array<ID> arr(n, dperm, format::kNotOwned);
+    io::BinaryWriterOrderOne<ID> w1(out + "/degree_order.sbff");
+    w1.WriteArray(&arr);
+  }
 
   std::cout << "dumped to " << out << "\n";
   return 0;
