@@ -13,11 +13,15 @@ from .dist import (
 )
 from .mesh import make_mesh, make_mesh_2d, replicated, shard_rows
 from .sharded import ShardedCSR
+from .sharded2d import Sharded2DCSR
 from . import halo
+from . import sharded2d
 
 __all__ = [
     "ShardedCSR",
+    "Sharded2DCSR",
     "halo",
+    "sharded2d",
     "make_mesh",
     "make_mesh_2d",
     "shard_rows",

@@ -22,6 +22,14 @@ def mesh():
     return make_mesh(8)
 
 
+@pytest.fixture(scope="module")
+def mesh2d():
+    from sparsebase_tpu.parallel import make_mesh_2d
+
+    assert len(jax.devices()) >= 8
+    return make_mesh_2d((4, 2))
+
+
 def random_csr(rng, n=64, avg_deg=5, with_vals=True):
     nnz = n * avg_deg
     row = rng.integers(0, n, nnz).astype(np.int32)
@@ -198,3 +206,48 @@ class TestCommVolume:
             for r in range(d):
                 expect = 1 if abs(o - r) == 1 else 0
                 assert counts[o, r] == expect, (o, r, counts[o, r])
+
+
+class TestSharded2D:
+    def test_spmv_matches_host(self, mesh2d, rng):
+        from sparsebase_tpu.parallel import sharded2d
+
+        csr = random_csr(rng, n=72, avg_deg=5)
+        sh = sharded2d.Sharded2DCSR.from_csr(csr, mesh2d)
+        assert sh.nnz == csr.nnz
+        x = rng.standard_normal(csr.ncols).astype(np.float32)
+        y = np.asarray(sharded2d.spmv(sh, jnp.asarray(x), mesh2d))
+        ref = np.asarray(csr.to_dense()) @ x
+        np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+    def test_degrees(self, mesh2d, rng):
+        from sparsebase_tpu.parallel import sharded2d
+
+        csr = random_csr(rng, n=56, avg_deg=4)
+        sh = sharded2d.Sharded2DCSR.from_csr(csr, mesh2d)
+        d = np.asarray(sharded2d.degrees(sh, mesh2d))
+        np.testing.assert_array_equal(d, np.diff(np.asarray(csr.indptr)))
+
+    def test_hlo_uses_reduce_scatter(self, mesh2d, rng):
+        from sparsebase_tpu.parallel import sharded2d
+
+        csr = random_csr(rng, n=64, avg_deg=4)
+        sh = sharded2d.Sharded2DCSR.from_csr(csr, mesh2d)
+        x = jnp.ones((csr.ncols,), jnp.float32)
+        hlo = (
+            jax.jit(lambda s, v: sharded2d.spmv(s, v, mesh2d))
+            .lower(sh, x)
+            .compile()
+            .as_text()
+        )
+        assert "reduce-scatter" in hlo
+
+    def test_pattern_matrix(self, mesh2d):
+        from sparsebase_tpu.parallel import sharded2d
+
+        csr = path_csr(40)
+        sh = sharded2d.Sharded2DCSR.from_csr(csr, mesh2d)
+        y = np.asarray(sharded2d.spmv(sh, jnp.ones((40,), jnp.float32), mesh2d))
+        want = np.full(40, 2.0, np.float32)
+        want[0] = want[-1] = 1.0
+        np.testing.assert_allclose(y, want)

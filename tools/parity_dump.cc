@@ -3,9 +3,14 @@
 // sparsebase_tpu's results value-for-value (tests/test_parity.py).
 //
 // Build (after building the reference out-of-tree into $REFBUILD):
-//   g++ -O2 -std=c++17 -fopenmp tools/parity_dump.cc \
+//   g++ -O1 -g -fsanitize=address -std=c++17 -fopenmp tools/parity_dump.cc \
 //       -I/root/reference/src -I$REFBUILD/src \
 //       $REFBUILD/src/libsparsebase.a -o /tmp/parity_dump
+// Run with ASAN_OPTIONS=detect_leaks=0:new_delete_type_mismatch=0:alloc_dealloc_mismatch=0
+// — ASan is REQUIRED, not optional: the reference's GrayReorder dtor
+// deletes its params through the wrong type (gray_reorder.h:31) and its
+// Execute path deletes new[] arrays with scalar delete; without ASan's
+// allocator the resulting heap corruption segfaults the plain build.
 //
 // Usage: parity_dump <matrix.mtx> <outdir>
 //        parity_dump --read-sbff <csr.sbff> <outdir>
