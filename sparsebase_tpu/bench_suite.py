@@ -157,6 +157,70 @@ def run(device: bool = False):
     return results
 
 
+def run_distributed():
+    """Distributed reorder/partition quality vs the host algorithms
+    (VERDICT round-1 item 6: distributed-RCM bandwidth reduction in the
+    suite). Needs ≥2 JAX devices — run under
+    ``XLA_FLAGS=--xla_force_host_platform_device_count=8`` on CPU, or on
+    a real mesh."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        return {"skipped": "needs >=2 devices (set xla_force_host_platform_device_count)"}
+
+    from .bases import ReorderBase
+    from .ops.feature import Bandwidth, Profile
+    from .ops.partition import edge_cut as host_edge_cut
+    from .ops.reorder import RCMReorder
+    from .parallel import ShardedCSR, dist, halo, make_mesh
+
+    mesh = make_mesh(len(jax.devices()))
+    out = {"devices": len(jax.devices())}
+    matrices = {
+        "ash958(sym)": ash958_graph(),
+        "rand-20k": synthetic_graph(20_000, 8),
+    }
+    for name, g in matrices.items():
+        sh = ShardedCSR.from_csr(g, mesh, halo=True)
+        bw0 = int(np.asarray(Bandwidth().get_bandwidth(g)))
+        pr0 = int(np.asarray(Profile().get_profile(g)))
+        entry = {
+            "n": g.nrows,
+            "nnz": g.nnz,
+            "natural": {"bandwidth": bw0, "profile": pr0},
+            "halo_comm_bytes_per_step": halo.step_comm_bytes(sh),
+            "dense_psum_bytes_per_step": 4 * g.nrows * sh.n_shards,
+        }
+
+        def quality(order):
+            perm = ReorderBase.permute2d(np.asarray(order), g)
+            return {
+                "bandwidth": int(np.asarray(Bandwidth().get_bandwidth(perm))),
+                "profile": int(np.asarray(Profile().get_profile(perm))),
+            }
+
+        t0 = time.perf_counter()
+        host_order = RCMReorder().get_reorder(g)
+        t_host = time.perf_counter() - t0
+        entry["rcm_host"] = {"seconds": round(t_host, 3), **quality(host_order)}
+
+        t0 = time.perf_counter()
+        d_order = halo.rcm_reorder(sh, mesh)
+        _sync(d_order)
+        t_dist = time.perf_counter() - t0
+        entry["rcm_distributed"] = {"seconds": round(t_dist, 3), **quality(d_order)}
+
+        labels = halo.label_prop_partition(sh, 4, mesh, num_iters=20)
+        refined = dist.refine_partition(sh, labels, 4, mesh, rounds=8)
+        entry["labelprop_distributed_k4"] = {
+            "edge_cut": int(np.asarray(dist.edge_cut(sh, labels, mesh))),
+            "edge_cut_refined": int(np.asarray(dist.edge_cut(sh, refined, mesh))),
+            "total_nnz": g.nnz,
+        }
+        out[name] = entry
+    return out
+
+
 def to_markdown(results) -> str:
     lines = ["# Benchmark suite results", ""]
     for mname, e in results.items():
@@ -186,7 +250,19 @@ def main():
     ap.add_argument("--device", action="store_true")
     ap.add_argument("--out", default=None, help="write a markdown report here")
     ap.add_argument("--json", action="store_true", help="print JSON instead")
+    ap.add_argument(
+        "--dist",
+        action="store_true",
+        help="distributed quality table only (needs >=2 devices)",
+    )
     args = ap.parse_args()
+    if args.dist:
+        import jax
+
+        if not args.device:
+            jax.config.update("jax_platforms", "cpu")
+        print(json.dumps(run_distributed(), indent=2))
+        return
     results = run(device=args.device)
     if args.json:
         print(json.dumps(results, indent=2))

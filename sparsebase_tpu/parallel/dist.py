@@ -376,7 +376,7 @@ def structure_features(sh: ShardedCSR, mesh: Mesh):
 
 @functools.lru_cache(maxsize=None)
 def _labelprop_runner(mesh, axis, n, d, rows, width, k, num_iters, cap):
-    def step(indptr, indices, nnz_local, labels, alpha):
+    def step(indptr, indices, nnz_local, labels, it):
         indptr_l = indptr[0]
         indices_l = indices[0]
         cnt = nnz_local[0]
@@ -397,14 +397,18 @@ def _labelprop_runner(mesh, axis, n, d, rows, width, k, num_iters, cap):
             .add((grows < n).astype(jnp.float32))
         )
         sizes = jax.lax.psum(local_sizes, axis)
-        penalty = alpha * jnp.maximum(sizes - cap, 0.0) * (counts.max() + 1.0) / cap
-        scores = counts - penalty[None, :]
-        new_local = jnp.argmax(scores, axis=1).astype(jnp.int32)
-        deg_local = indptr_l[1:] - indptr_l[:-1]
-        keep = deg_local == 0
-        old_local = labels[jnp.clip(row_base + jnp.arange(rows), 0, n - 1)]
-        new_local = jnp.where(keep, old_local, new_local)
-        return new_local[None, :]
+        # PULP-style multiplicative balance weight + strict-improvement
+        # moves on alternating halves (see halo.label_prop_partition)
+        weight = jnp.maximum(1.0 - sizes / cap, 0.0)
+        scores = counts * weight[None, :]
+        cur_score = jnp.take_along_axis(
+            scores, local_labels[:, None].astype(jnp.int32), 1
+        )[:, 0]
+        best = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        best_score = jnp.max(scores, axis=1)
+        active = ((grows + it) % 2 == 0) & ((indptr_l[1:] - indptr_l[:-1]) > 0)
+        return jnp.where(active & (best_score > cur_score * 1.000001 + 1e-6),
+                         best, local_labels)[None, :]
 
     step_fn = shard_map(
         step,
@@ -418,8 +422,7 @@ def _labelprop_runner(mesh, axis, n, d, rows, width, k, num_iters, cap):
         labels0 = (jnp.arange(n, dtype=jnp.int32) * k) // max(n, 1)
 
         def body(i, labels):
-            alpha = (i + 1).astype(jnp.float32) / num_iters
-            new_sharded = step_fn(indptr, indices, nnz_local, labels, alpha)
+            new_sharded = step_fn(indptr, indices, nnz_local, labels, i)
             return new_sharded.reshape(-1)[:n]
 
         return jax.lax.fori_loop(0, num_iters, body, labels0)

@@ -200,7 +200,7 @@ def bfs_levels(sh: ShardedCSR, root, mesh: Mesh, max_iters: Optional[int] = None
 # --------------------------------------------------------------------------
 @functools.lru_cache(maxsize=None)
 def _labelprop_runner(mesh, axis, n, d, rows, width, halo_s, k, num_iters, cap):
-    def step(indptr, nnz_local, halo_send, halo_map, labels, alpha):
+    def step(indptr, nnz_local, halo_send, halo_map, labels, it):
         ip, cnt = indptr[0], nnz_local[0]
         lab_l = labels[0]
         ext = _exchange(lab_l, halo_send[0], axis)
@@ -218,11 +218,18 @@ def _labelprop_runner(mesh, axis, n, d, rows, width, halo_s, k, num_iters, cap):
             in_range.astype(jnp.float32), mode="drop"
         )
         sizes = jax.lax.psum(local_sizes, axis)
-        penalty = alpha * jnp.maximum(sizes - cap, 0.0) * (counts.max() + 1.0) / cap
-        scores = counts - penalty[None, :]
-        new_l = jnp.argmax(scores, axis=1).astype(jnp.int32)
-        keep = (ip[1:] - ip[:-1]) == 0
-        return jnp.where(keep, lab_l, new_l)[None]
+        # PULP-style multiplicative balance weight: a part at capacity
+        # scores 0 (pulp's vertex-balance degradation), so moves flow to
+        # under-capacity parts; synchronous oscillation is broken by
+        # (a) strict-improvement moves and (b) alternating half-updates
+        weight = jnp.maximum(1.0 - sizes / cap, 0.0)
+        scores = counts * weight[None, :]
+        cur_score = jnp.take_along_axis(scores, lab_l[:, None].astype(jnp.int32), 1)[:, 0]
+        best = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        best_score = jnp.max(scores, axis=1)
+        active = ((grows + it) % 2 == 0) & ((ip[1:] - ip[:-1]) > 0)
+        move = active & (best_score > cur_score * 1.000001 + 1e-6)
+        return jnp.where(move, best, lab_l)[None]
 
     step_fn = shard_map(
         step, mesh=mesh, in_specs=(P(axis),) * 4 + (P(axis), P()), out_specs=P(axis)
@@ -236,8 +243,7 @@ def _labelprop_runner(mesh, axis, n, d, rows, width, halo_s, k, num_iters, cap):
         labels0 = jnp.minimum(labels0, k - 1)
 
         def body(i, labels):
-            alpha = (i + 1).astype(jnp.float32) / num_iters
-            return step_fn(indptr, nnz_local, halo_send, halo_map, labels, alpha)
+            return step_fn(indptr, nnz_local, halo_send, halo_map, labels, i)
 
         return jax.lax.fori_loop(0, num_iters, body, labels0)
 
