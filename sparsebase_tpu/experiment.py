@@ -194,3 +194,52 @@ def reorder_csr(reorderer_factory):
         return ReorderBase.permute2d_rowwise(order, data)
 
     return fn
+
+
+def load_sharded_csr(mesh=None, axis: str = "x", halo: bool = True):
+    """Returns a loader producing a :class:`~.parallel.ShardedCSR` over
+    ``mesh`` (default: all devices) — the distributed analogue of
+    ``LoadCSR`` (experiment_helper.h:33-42); no reference counterpart."""
+
+    def fn(file_names):
+        from .bases import IOBase
+        from .parallel import ShardedCSR, make_mesh
+
+        m = mesh if mesh is not None else make_mesh(axis=axis)
+        csr = IOBase.read_mtx_to_csr(file_names[0])
+        return ShardedCSR.from_csr(csr, m, axis=axis, halo=halo), m
+
+    return fn
+
+
+def distributed_reorder(kind: str = "rcm"):
+    """Preprocess applying a distributed reorder to a (ShardedCSR, mesh)
+    pair; returns (sharded, mesh, order)."""
+
+    def fn(data, fparams, pparams):
+        from .parallel import halo as _halo
+
+        sh, mesh = data
+        if kind == "rcm":
+            order = _halo.rcm_reorder(sh, mesh)
+        elif kind == "degree":
+            from .parallel import degree_reorder
+
+            order = degree_reorder(sh, mesh)
+        else:
+            raise ValueError(f"unknown distributed reorder {kind!r}")
+        return sh, mesh, order
+
+    return fn
+
+
+def distributed_spmv_kernel(data, fparams, pparams, kparams):
+    """Kernel: boundary-proportional SpMV on the (possibly reordered)
+    sharded matrix (the distributed take on tutorial 004's SpMV)."""
+    import jax.numpy as jnp
+
+    from .parallel import halo as _halo
+
+    sh, mesh = data[0], data[1]
+    x = jnp.ones((sh.shape[1],), jnp.float32)
+    return _halo.spmv(sh, x, mesh)

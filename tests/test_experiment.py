@@ -101,3 +101,36 @@ class TestVisualizer:
         html = out.read_text()
         assert "<svg" in html and "rev" in html and "bandwidth" in html
         assert "natural ordering" in html
+
+
+class TestDistributedExperiment:
+    def test_sharded_loader_pipeline(self, tmp_path):
+        import jax
+
+        if len(jax.devices()) < 2:
+            import pytest
+
+            pytest.skip("needs multi-device mesh")
+        from sparsebase_tpu.experiment import (
+            ConcreteExperiment,
+            distributed_reorder,
+            distributed_spmv_kernel,
+            load_sharded_csr,
+            pass_preprocess,
+        )
+
+        mtx = "tests/golden/ash958_sym.mtx"
+        ex = ConcreteExperiment(warmup=0)
+        ex.add_data_loader(load_sharded_csr(), [((mtx,), None)])
+        ex.add_preprocess("pass", pass_preprocess)
+        ex.add_preprocess("rcm", distributed_reorder("rcm"))
+        ex.add_kernel("spmv", distributed_spmv_kernel)
+        ex.run(times=1)
+        times = ex.get_run_times()
+        assert len(times) == 2  # 2 preprocesses x 1 kernel x 1 rep
+        assert all(t > 0 for t in times.values())
+        results = ex.get_results()
+        import numpy as np
+
+        for v in results.values():
+            assert np.isfinite(np.asarray(v)).all()
