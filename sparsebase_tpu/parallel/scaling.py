@@ -90,7 +90,9 @@ def run_weak_scaling(
         csr = _make_graph(n, avg_deg, seed=d, kind=kind)
         sh = ShardedCSR.from_csr(csr, mesh, halo=use_halo)
         x = jnp.ones((n,), jnp.float32)
-        halo_ok = use_halo and d > 1
+        # the same algorithm at every d (halo kernels run fine on a
+        # 1-device mesh) so efficiencies compare like with like
+        halo_ok = bool(use_halo)
 
         spmv_fn = halo.spmv if halo_ok else spmv
         f_spmv = jax.jit(lambda s, v: spmv_fn(s, v, mesh))
@@ -101,10 +103,17 @@ def run_weak_scaling(
         _sync(y)
         t_spmv = (time.perf_counter() - t0) / reps
 
-        rcm_fn = halo.rcm_reorder if halo_ok else rcm_reorder
-        _sync(rcm_fn(sh, mesh, root=0, max_iters=64))  # compile
+        def run_rcm():
+            if halo_ok:
+                # bounded refinement: constant work per device count
+                return halo.rcm_reorder(
+                    sh, mesh, root=0, max_iters=64, refine_iters=4
+                )
+            return rcm_reorder(sh, mesh, root=0, max_iters=64)
+
+        _sync(run_rcm())  # compile
         t0 = time.perf_counter()
-        order = rcm_fn(sh, mesh, root=0, max_iters=64)
+        order = run_rcm()
         _sync(order)
         t_rcm = time.perf_counter() - t0
 
@@ -126,9 +135,9 @@ def run_weak_scaling(
             # hardware-independent comm signal: bytes one halo exchange
             # moves, total and per device (should stay ~flat per device
             # for boundary-proportional kernels)
-            "halo_bytes_per_step": halo.step_comm_bytes(sh) if halo_ok else 0,
+            "halo_bytes_per_step": halo.step_comm_bytes(sh) if use_halo else 0,
             "halo_bytes_per_device": (
-                halo.step_comm_bytes(sh) // d if halo_ok else 0
+                halo.step_comm_bytes(sh) // d if use_halo else 0
             ),
             # the dense-psum alternative would move n*4 bytes per device
             "dense_bytes_per_device": 4 * n,
