@@ -75,6 +75,14 @@ def make_graph_on_device(n, nnz, seed=0):
 
 def main():
     import jax
+
+    # persistent compile cache: repeat runs at the same shape skip the
+    # 40-90 s remote compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     import sparsebase_tpu as sb

@@ -62,27 +62,15 @@ def spmv_csr(csr: CSR, x, method: str = "auto"):
     return jax.ops.segment_sum(prod, csr.row_of_nnz(), num_segments=csr.nrows)
 
 
-def preprocess_pipeline(coo: COO, x):
-    """The canonical slice (SURVEY.md §7 phase 2 / BASELINE.md configs):
-    COO → CSR → degree reorder → symmetric row/col permutation → SpMV.
-    Fully jittable; returns ``(permuted_csr, y)`` where ``y = P·(A@x)``
-    (= the permuted matrix applied to the permuted vector).
-
-    Parity: examples/degree_order + examples/csr_coo +
-    tutorials/004_cuda_spmv of the reference, as one fused device program.
-    """
+def _permute_and_spmv(coo: COO, indptr, degrees, ro, x):
+    """Shared pipeline tail: given an inverse permutation ``ro`` (and the
+    CSR structure of the input), apply the symmetric permutation with the
+    measured-optimal op mix (one fused pair gather + one 2-key sort) and
+    compute ``y = P·(A@x)``."""
     n = coo.nrows
     nnz = coo.nnz
     idt = coo.row.dtype
     vals = coo.vals if coo.vals is not None else jnp.ones((nnz,), x.dtype)
-
-    # -- COO→CSR (conversion) ------------------------------------------------
-    indptr = indptr_from_sorted_rows(coo.row, n, nnz)
-    degrees = indptr[1:] - indptr[:-1]
-
-    # -- degree reorder (counting-sort rank; DegreeReorder parity) -----------
-    perm = jnp.argsort(degrees, stable=True)  # perm[new] = old
-    ro = jnp.zeros((n,), idt).at[perm].set(jnp.arange(n, dtype=idt))  # ro[old]=new
 
     # -- the one irreducible random-access pass: pair gather ------------------
     # table[c] = (ro[c], bits(x[c])); one (n,2) lookup by coo.col replaces
@@ -112,6 +100,71 @@ def preprocess_pipeline(coo: COO, x):
     )
     permuted = CSR(new_indptr, col_s, vals_s, coo.shape)
     return permuted, y
+
+
+def preprocess_pipeline(coo: COO, x):
+    """The canonical slice (SURVEY.md §7 phase 2 / BASELINE.md configs):
+    COO → CSR → degree reorder → symmetric row/col permutation → SpMV.
+    Fully jittable; returns ``(permuted_csr, y)`` where ``y = P·(A@x)``
+    (= the permuted matrix applied to the permuted vector).
+
+    Parity: examples/degree_order + examples/csr_coo +
+    tutorials/004_cuda_spmv of the reference, as one fused device program.
+    """
+    n = coo.nrows
+    nnz = coo.nnz
+    idt = coo.row.dtype
+
+    # -- COO→CSR (conversion) ------------------------------------------------
+    indptr = indptr_from_sorted_rows(coo.row, n, nnz)
+    degrees = indptr[1:] - indptr[:-1]
+
+    # -- degree reorder (counting-sort rank; DegreeReorder parity) -----------
+    perm = jnp.argsort(degrees, stable=True)  # perm[new] = old
+    ro = jnp.zeros((n,), idt).at[perm].set(jnp.arange(n, dtype=idt))  # ro[old]=new
+
+    return _permute_and_spmv(coo, indptr, degrees, ro, x)
+
+
+def rcm_pipeline(coo: COO, x):
+    """COO → CSR → device RCM (level-synchronous ``while_loop``) →
+    symmetric permutation → SpMV, fully jittable — the reference's
+    ``examples/rcm_order`` + tutorial 004 as one device program."""
+    from ..ops.reorder.rcm import _rcm_device
+
+    n = coo.nrows
+    nnz = coo.nnz
+    idt = coo.row.dtype
+    indptr = indptr_from_sorted_rows(coo.row, n, nnz)
+    degrees = indptr[1:] - indptr[:-1]
+    csr = CSR(indptr, coo.col, coo.vals, coo.shape)
+    ro = _rcm_device(csr).astype(idt)
+    return _permute_and_spmv(coo, indptr, degrees, ro, x)
+
+
+def partition_pipeline(coo: COO, x, k: int = 8, num_iters: int = 10):
+    """COO → CSR → device label propagation → group rows by part →
+    permutation → SpMV; returns ``(permuted_csr, y, labels)``. The
+    partition-then-localize slice (reference: examples/metis_partition
+    followed by a permute), jittable end to end."""
+    import jax.numpy as _jnp
+
+    from ..ops.partition.labelprop import PulpPartitionParams, _propagate
+
+    n = coo.nrows
+    nnz = coo.nnz
+    idt = coo.row.dtype
+    indptr = indptr_from_sorted_rows(coo.row, n, nnz)
+    degrees = indptr[1:] - indptr[:-1]
+    csr = CSR(indptr, coo.col, coo.vals, coo.shape)
+    cap = 1.1 * n / k
+    labels0 = (jnp.arange(n, dtype=jnp.int32) * k) // max(n, 1)
+    labels = _propagate(_jnp, csr, labels0, k, cap, None, num_iters)
+    # rows grouped by part, stable within a part: rank by (label, id)
+    order = jnp.lexsort((jnp.arange(n), labels))  # order[new] = old
+    ro = jnp.zeros((n,), idt).at[order].set(jnp.arange(n, dtype=idt))
+    permuted, y = _permute_and_spmv(coo, indptr, degrees, ro, x)
+    return permuted, y, labels
 
 
 # Donating variant: the COO buffers are dead after the relabel/sort reads,

@@ -251,3 +251,61 @@ class TestPreprocessPipeline:
         P[np.arange(n), perm] = 1.0
         np.testing.assert_allclose(np.asarray(csr_p.to_dense()), P @ A @ P.T, atol=1e-6)
         np.testing.assert_allclose(np.asarray(y), P @ (A @ x), atol=1e-5)
+
+
+class TestMorePipelines:
+    """rcm_pipeline / partition_pipeline vs dense numpy models."""
+
+    def _graph(self, rng, n=48, m=240):
+        r = rng.integers(0, n, m).astype(np.int32)
+        c = rng.integers(0, n, m).astype(np.int32)
+        v = rng.standard_normal(m).astype(np.float32)
+        return fx_sorted_coo(r, c, v, n), (r, c, v)
+
+    def test_rcm_pipeline(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from sparsebase_tpu.models import rcm_pipeline
+
+        n = 48
+        coo, (r, c, v) = self._graph(rng, n=n)
+        x = rng.standard_normal(n).astype(np.float32)
+        csr_p, y = jax.jit(rcm_pipeline)(coo.to_device(), jnp.asarray(x))
+        A = np.zeros((n, n), np.float32)
+        np.add.at(A, (r, c), v)
+        # the permutation must be valid and y must equal P(Ax) under it
+        dense_p = np.asarray(csr_p.to_dense())
+        # recover ro from y: y[ro[i]] = (Ax)[i]; check as a permutation of Ax
+        ax = A @ x
+        got = np.asarray(y)
+        assert sorted(np.round(got, 4).tolist()) == sorted(np.round(ax, 4).tolist())
+        # structural: permuted matrix has the same nnz and sorted columns
+        assert csr_p.nnz == coo.nnz
+        # the permuted dense matrix is P A P^T for some permutation P:
+        # row/col sums are permutations of the originals
+        np.testing.assert_allclose(
+            sorted(dense_p.sum(1).tolist()), sorted(A.sum(1).tolist()), atol=1e-4
+        )
+
+    def test_partition_pipeline(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from sparsebase_tpu.models import partition_pipeline
+
+        n = 48
+        coo, (r, c, v) = self._graph(rng, n=n)
+        x = rng.standard_normal(n).astype(np.float32)
+        k = 4
+        csr_p, y, labels = jax.jit(
+            partition_pipeline, static_argnums=(2, 3)
+        )(coo.to_device(), jnp.asarray(x), k, 6)
+        labels = np.asarray(labels)
+        assert labels.min() >= 0 and labels.max() < k
+        A = np.zeros((n, n), np.float32)
+        np.add.at(A, (r, c), v)
+        ax = A @ x
+        got = np.asarray(y)
+        assert sorted(np.round(got, 4).tolist()) == sorted(np.round(ax, 4).tolist())
+        assert csr_p.nnz == coo.nnz
