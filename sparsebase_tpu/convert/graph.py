@@ -44,6 +44,21 @@ def _device_fn(fn: ConversionFn) -> ConversionFn:
     return _JITTED[key]
 
 
+class ContextConversion:
+    """Marks a conversion whose implementation needs the *target context*
+    (e.g. CSR → ShardedCSR needs the mesh). The wrapped fn is called as
+    ``fn(fmt, to_context)`` and runs eagerly (it performs placement
+    itself), so the chain executor neither jit-wraps it nor pre-moves the
+    input — the analogue of the reference's context-conditional CUDA
+    edges (converter_order_two.cc:288-341) generalized to meshes."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, fmt, to_ctx=None):
+        return self.fn(fmt, to_ctx)
+
+
 class ConversionGraph:
     """Directed multigraph over format classes with conditional edges."""
 
@@ -136,16 +151,27 @@ class ConversionGraph:
             raise ConversionError(type(fmt).__name__, to_cls.__name__)
         # Placement first: run conversions where the result must live
         # (mirrors the reference inserting the H2D step before a CUDA impl).
+        # Context-consuming edges (ContextConversion) do their own
+        # placement, so the pre-move is skipped when the chain starts
+        # (or ends) with one.
         out: List[Format] = []
         cur = fmt
-        if context is not None and not from_ctx.is_equivalent(context):
+        has_ctx_edge = any(isinstance(fn, ContextConversion) for fn, _ in chain)
+        if (
+            context is not None
+            and not from_ctx.is_equivalent(context)
+            and not has_ctx_edge
+        ):
             cur = cur.to(context)
             out.append(cur)
         from ..context import HostContext
 
         on_host = isinstance(cur.context, HostContext)
         for fn, _cls in chain:
-            cur = fn(cur) if on_host else _device_fn(fn)(cur)
+            if isinstance(fn, ContextConversion):
+                cur = fn(cur, context)
+            else:
+                cur = fn(cur) if on_host else _device_fn(fn)(cur)
             out.append(cur)
         if not out:
             out.append(fmt)
@@ -191,6 +217,40 @@ def _register_builtin_edges():
     register_conversion(CSC, CSR, k.csc_to_csr)
     register_conversion(CSR, DIA, k.csr_to_dia)
     register_conversion(DIA, CSR, k.dia_to_csr)
+
+
+_MESH_EDGES_DONE = False
+
+
+def _register_mesh_edges():
+    """Mesh-placement edges: ShardedCSR joins the conversion graph, gated
+    on the target being a MeshContext (the CUDA-edge analogue). Called by
+    ``sparsebase_tpu.parallel`` on import — the only way user code can
+    name ShardedCSR."""
+    global _MESH_EDGES_DONE
+    if _MESH_EDGES_DONE:
+        return
+    _MESH_EDGES_DONE = True
+    from ..context import MeshContext
+    from ..formats.csr import CSR
+    from ..parallel.sharded import ShardedCSR
+
+    def to_sharded(csr, to_ctx):
+        return ShardedCSR.from_csr(csr, to_ctx.mesh, axis=to_ctx.axis)
+
+    def to_csr(sh, to_ctx):
+        out = sh.to_csr()
+        if to_ctx is not None:
+            out = out.to(to_ctx)
+        return out
+
+    register_conversion(
+        CSR,
+        ShardedCSR,
+        ContextConversion(to_sharded),
+        condition=lambda f, t: isinstance(t, MeshContext),
+    )
+    register_conversion(ShardedCSR, CSR, ContextConversion(to_csr))
 
 
 _register_builtin_edges()

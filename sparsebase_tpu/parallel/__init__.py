@@ -17,6 +17,11 @@ from .sharded2d import Sharded2DCSR
 from . import halo
 from . import sharded2d
 
+# joining the conversion graph: CSR <-> ShardedCSR placement edges
+from ..convert.graph import _register_mesh_edges
+
+_register_mesh_edges()
+
 __all__ = [
     "ShardedCSR",
     "Sharded2DCSR",

@@ -251,3 +251,39 @@ class TestSharded2D:
         want = np.full(40, 2.0, np.float32)
         want[0] = want[-1] = 1.0
         np.testing.assert_allclose(y, want)
+
+
+class TestMeshConversionEdges:
+    """ShardedCSR as a first-class node in the conversion graph: the
+    mesh-placement edge analogue of the reference's context-conditional
+    CUDA edges (converter_order_two.cc:288-341)."""
+
+    def test_csr_to_sharded_via_convert(self, mesh, rng):
+        from sparsebase_tpu.context import MeshContext
+
+        csr = random_csr(rng)
+        ctx = MeshContext(mesh, "x")
+        sh = csr.convert(ShardedCSR, ctx)
+        assert isinstance(sh, ShardedCSR)
+        assert sh.nnz == csr.nnz
+        back = sh.convert(type(csr))
+        np.testing.assert_array_equal(np.asarray(back.indptr), np.asarray(csr.indptr))
+        np.testing.assert_array_equal(np.asarray(back.indices), np.asarray(csr.indices))
+
+    def test_coo_to_sharded_multihop(self, mesh, rng):
+        # COO -> CSR -> ShardedCSR: BFS finds the 2-hop chain when the
+        # target context is a mesh
+        from sparsebase_tpu.context import MeshContext
+
+        csr = random_csr(rng)
+        coo = csr.convert(COO)
+        sh = coo.convert(ShardedCSR, MeshContext(mesh, "x"))
+        assert isinstance(sh, ShardedCSR)
+        assert sh.nnz == csr.nnz
+
+    def test_unreachable_without_mesh_context(self, rng):
+        from sparsebase_tpu.utils.exceptions import ConversionError
+
+        csr = random_csr(rng)
+        with pytest.raises(ConversionError):
+            csr.convert(ShardedCSR)  # no mesh context -> edge gated off
