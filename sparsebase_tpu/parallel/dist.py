@@ -444,3 +444,47 @@ def label_prop_partition(
     cap = balance * n / k
     run = _labelprop_runner(mesh, axis, n, d, rows, width, int(k), int(num_iters), cap)
     return run(sh.indptr, sh.indices, sh.nnz_local)
+
+
+@functools.lru_cache(maxsize=None)
+def _heatmap_runner(mesh, axis, n, m, d, rows, width, b):
+    bsize = max(n // b, 1)
+
+    def body(indptr, indices, nnz_local, order_r, order_c):
+        indptr_l = indptr[0]
+        indices_l = indices[0]
+        cnt = nnz_local[0]
+        shard_id = jax.lax.axis_index(axis)
+        grow = shard_id * rows + _local_row_of(indptr_l, width)
+        valid = (jnp.arange(width, dtype=jnp.int32) < cnt) & (grow < n)
+        u = order_r[jnp.clip(grow, 0, n - 1)]
+        v = order_c[jnp.clip(indices_l, 0, m - 1)]
+        bu = jnp.minimum(u // bsize, b - 1)
+        bv = jnp.minimum(v // bsize, b - 1)
+        flat = jnp.where(valid, bu * b + bv, b * b)
+        hist = jnp.zeros((b * b,), jnp.int32).at[flat].add(
+            valid.astype(jnp.int32), mode="drop"
+        )
+        return jax.lax.psum(hist, axis)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(),
+    )
+    return jax.jit(fn)
+
+
+def reorder_heatmap(sh: ShardedCSR, order_r, order_c, mesh: Mesh, num_parts: int = 8):
+    """Distributed b×b block-density heatmap of a reordered sharded matrix
+    — per-shard scatter-add histograms combined with a (b²,) psum (the
+    ReorderHeatmap op, reorder_heatmap.cc:42-120, over a mesh). Returns
+    the replicated (b, b) density grid (counts / nnz)."""
+    axis, n, d, rows, width = _statics(sh)
+    m = sh.shape[1]
+    f = _heatmap_runner(mesh, axis, n, m, d, rows, width, int(num_parts))
+    counts = f(sh.indptr, sh.indices, sh.nnz_local,
+               jnp.asarray(order_r), jnp.asarray(order_c))
+    nnz = max(sh.nnz, 1)
+    return counts.reshape(num_parts, num_parts).astype(jnp.float32) / nnz

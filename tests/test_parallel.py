@@ -211,3 +211,32 @@ class TestStructureFeatures:
         assert int(feats["nnz"]) == csr.nnz
         assert int(feats["bandwidth"]) == int(Bandwidth().get_bandwidth(csr))
         assert int(feats["profile"]) == int(Profile().get_profile(csr))
+
+
+class TestDistributedHeatmap:
+    def test_matches_host_heatmap(self, mesh, rng):
+        from sparsebase_tpu.bases import ReorderBase
+        from sparsebase_tpu.parallel.dist import reorder_heatmap
+
+        csr = random_csr(rng, n=64, avg_deg=5)
+        sh = ShardedCSR.from_csr(csr, mesh)
+        ident = np.arange(64, dtype=np.int32)
+        got = np.asarray(reorder_heatmap(sh, ident, ident, mesh, num_parts=4))
+        want = np.asarray(
+            ReorderBase.heatmap(csr, ident, ident, num_parts=4).vals
+        ).reshape(4, 4)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_reordered(self, mesh, rng):
+        from sparsebase_tpu.bases import ReorderBase
+        from sparsebase_tpu.ops.reorder import DegreeReorder
+        from sparsebase_tpu.parallel.dist import reorder_heatmap
+
+        csr = random_csr(rng, n=48, avg_deg=4)
+        sh = ShardedCSR.from_csr(csr, mesh)
+        order = np.asarray(DegreeReorder().get_reorder(csr)).astype(np.int32)
+        got = np.asarray(reorder_heatmap(sh, order, order, mesh, num_parts=3))
+        want = np.asarray(
+            ReorderBase.heatmap(csr, order, order, num_parts=3).vals
+        ).reshape(3, 3)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
