@@ -287,3 +287,42 @@ class TestMeshConversionEdges:
         csr = random_csr(rng)
         with pytest.raises(ConversionError):
             csr.convert(ShardedCSR)  # no mesh context -> edge gated off
+
+
+class TestHaloRefine:
+    def test_edge_cut_matches_dense(self, mesh, rng):
+        csr = random_csr(rng, n=64, avg_deg=5)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        labels = jnp.asarray(rng.integers(0, 3, 64).astype(np.int32))
+        got = int(np.asarray(halo.edge_cut(sh, labels, mesh)))
+        want = int(np.asarray(dist.edge_cut(sh, labels, mesh)))
+        assert got == want
+
+    def test_refine_reduces_cut(self, mesh, rng):
+        csr = random_csr(rng, n=96, avg_deg=6)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        k = 4
+        labels0 = jnp.asarray((np.arange(96) * k // 96).astype(np.int32))
+        scr = rng.integers(0, 96, 32)
+        labels0 = labels0.at[scr].set(jnp.asarray(rng.integers(0, k, 32), jnp.int32))
+        cut0 = int(np.asarray(halo.edge_cut(sh, labels0, mesh)))
+        labels1 = halo.refine_partition(sh, labels0, k, mesh, rounds=4)
+        cut1 = int(np.asarray(halo.edge_cut(sh, jnp.asarray(labels1), mesh)))
+        assert cut1 <= cut0, (cut0, cut1)
+        labels1 = np.asarray(labels1)
+        assert labels1.min() >= 0 and labels1.max() < k
+        sizes = np.bincount(labels1, minlength=k)
+        assert sizes.max() <= 1.3 * 96 / k
+
+    def test_refine_respects_headroom(self, mesh, rng):
+        # one part at capacity: admission must not push it further over
+        n, k = 64, 2
+        csr = random_csr(rng, n=n, avg_deg=4)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        labels0 = jnp.asarray((np.arange(n) >= n // 4).astype(np.int32))  # part1 = 75%
+        labels1 = np.asarray(halo.refine_partition(sh, labels0, k, mesh, rounds=3))
+        sizes = np.bincount(labels1, minlength=k)
+        cap = 1.1 * n / k
+        before = np.bincount(np.asarray(labels0), minlength=k)
+        # the oversized part must not grow
+        assert sizes[1] <= before[1]
