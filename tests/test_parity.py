@@ -291,3 +291,38 @@ class TestSbffByteCompat:
         # and the container self-parses identically
         back = BinaryReaderOrderTwo(p).read_csr()
         np.testing.assert_array_equal(np.asarray(back.indptr), np.asarray(csr32.indptr))
+
+
+class TestSbffByteCompatG960:
+    """Same byte-compat triangle on the weighted g960 matrix."""
+
+    def test_read_reference_written_coo(self, csr960):
+        from sparsebase_tpu.convert import coo_to_csr
+        from sparsebase_tpu.io.binary import BinaryReaderOrderTwo
+
+        coo = BinaryReaderOrderTwo(str(G960 / "coo.sbff")).read_coo()
+        ours = coo_to_csr(coo)
+        np.testing.assert_array_equal(
+            np.asarray(ours.indptr), np.asarray(csr960.indptr)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ours.indices), np.asarray(csr960.indices)
+        )
+        np.testing.assert_allclose(np.asarray(ours.vals), np.asarray(csr960.vals))
+
+    def test_reference_read_our_weighted_csr(self, csr960):
+        # sbff_read_*.txt = the reference's dump after reading a CSR
+        # container OUR writer produced (values included this time)
+        np.testing.assert_array_equal(
+            np.loadtxt(G960 / "sbff_read_indptr.txt", dtype=np.int64),
+            np.asarray(csr960.indptr),
+        )
+        np.testing.assert_array_equal(
+            np.loadtxt(G960 / "sbff_read_indices.txt", dtype=np.int64),
+            np.asarray(csr960.indices),
+        )
+        np.testing.assert_allclose(
+            np.loadtxt(G960 / "sbff_read_vals.txt", dtype=np.float32),
+            np.asarray(csr960.vals, np.float32),
+            rtol=1e-6,
+        )
