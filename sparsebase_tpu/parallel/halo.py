@@ -25,6 +25,9 @@ the tests verify):
   level-synchronous per Azad & Buluç) + a **distributed counting rank**
   over (level, degree-bucket) histograms — comm is O(D · buckets),
   independent of n, replacing round 1's replicated global lexsort.
+* :func:`edge_cut` / :func:`refine_partition` — sharded-label cut and
+  boundary refinement; mover admission is exact top-headroom per part
+  via psum'd gain-bucket histograms (O(D·k·G) comm, no replicated sort).
 
 Compiled runners are cached per (mesh, static shapes) so repeated calls
 — experiment loops, scaling sweeps — pay tracing/compilation once.
