@@ -15,6 +15,7 @@ from .mesh import make_mesh, make_mesh_2d, replicated, shard_rows
 from .sharded import ShardedCSR
 from .sharded2d import Sharded2DCSR
 from . import halo
+from . import multihost
 from . import sharded2d
 
 # joining the conversion graph: CSR <-> ShardedCSR placement edges
@@ -26,6 +27,7 @@ __all__ = [
     "ShardedCSR",
     "Sharded2DCSR",
     "halo",
+    "multihost",
     "sharded2d",
     "make_mesh",
     "make_mesh_2d",

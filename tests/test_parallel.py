@@ -240,3 +240,19 @@ class TestDistributedHeatmap:
             ReorderBase.heatmap(csr, order, order, num_parts=3).vals
         ).reshape(3, 3)
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestMultihost:
+    def test_single_process_degenerates(self):
+        from sparsebase_tpu.parallel import multihost
+
+        # single-process: initialize is a no-op returning False, the
+        # global mesh covers the local devices, and this process owns
+        # the whole entry list
+        assert multihost.initialize() is False
+        mesh = multihost.global_mesh()
+        import jax
+
+        assert mesh.size == len(jax.devices())
+        start, count = multihost.local_entry_counts(1000)
+        assert (start, count) == (0, 1000)
