@@ -82,30 +82,34 @@ class Visualizer:
     def add_features(self, features: Dict[str, object]) -> None:
         self._features.update({k: v for k, v in features.items()})
 
-    def _density(self, row_order, col_order) -> np.ndarray:
+    def _density(self, row_order, col_order):
+        """(grid, stats) in one fused pass (reorder_heatmap.cc:58-106)."""
         from ..formats.array import DenseArray
         from ..ops.reorder.heatmap import ReorderHeatmap
 
-        heat = ReorderHeatmap(self.num_parts).get_heatmap(
+        heat, stats = ReorderHeatmap(self.num_parts).get_heatmap_with_stats(
             self.csr, DenseArray.new(row_order), DenseArray.new(col_order)
         )
-        return np.asarray(heat.vals).reshape(self.num_parts, self.num_parts)
+        return np.asarray(heat.vals).reshape(self.num_parts, self.num_parts), stats
+
+    def _card(self, name, grid, stats) -> str:
+        cap = (
+            f"{name}<br><small>bw max {stats['max_bw']}, "
+            f"mean {stats['mean_bw']:.1f}</small>"
+        )
+        return (
+            '<figure class="card">'
+            + _spy_svg(grid)
+            + f"<figcaption>{cap}</figcaption></figure>"
+        )
 
     def to_html(self) -> str:
         n, m = self.csr.shape
         ident = np.arange(n, dtype=np.asarray(self.csr.indices).dtype)
         ident_c = np.arange(m, dtype=ident.dtype)
-        cards = [
-            '<figure class="card">'
-            + _spy_svg(self._density(ident, ident_c))
-            + "<figcaption>natural ordering</figcaption></figure>"
-        ]
+        cards = [self._card("natural ordering", *self._density(ident, ident_c))]
         for name, (ro, co) in self._orderings.items():
-            cards.append(
-                '<figure class="card">'
-                + _spy_svg(self._density(ro, co))
-                + f"<figcaption>{name}</figcaption></figure>"
-            )
+            cards.append(self._card(name, *self._density(ro, co)))
         feat_rows = "".join(
             f"<tr><th>{k}</th><td>{v}</td></tr>" for k, v in self._features.items()
         )

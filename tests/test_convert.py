@@ -309,3 +309,33 @@ class TestMorePipelines:
         got = np.asarray(y)
         assert sorted(np.round(got, 4).tolist()) == sorted(np.round(ax, 4).tolist())
         assert csr_p.nnz == coo.nnz
+
+
+class TestDonatingPipeline:
+    def test_matches_plain(self, rng):
+        # donation is a memory optimization, not a semantic one: the
+        # donating jit must produce identical results (on CPU donation is
+        # a no-op but the entry point and argument consumption still run)
+        import jax
+        import jax.numpy as jnp
+        import warnings
+
+        from sparsebase_tpu.models import (
+            preprocess_pipeline,
+            preprocess_pipeline_donating,
+        )
+
+        n, m = 40, 200
+        r = rng.integers(0, n, m).astype(np.int32)
+        c = rng.integers(0, n, m).astype(np.int32)
+        v = rng.standard_normal(m).astype(np.float32)
+        coo = fx_sorted_coo(r, c, v, n)
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        ref_csr, ref_y = jax.jit(preprocess_pipeline)(coo.to_device(), x)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # "donation not implemented on cpu"
+            got_csr, got_y = preprocess_pipeline_donating(coo.to_device(), x)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y), rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(got_csr.indices), np.asarray(ref_csr.indices)
+        )
