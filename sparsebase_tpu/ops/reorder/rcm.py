@@ -150,7 +150,7 @@ def _rcm_host(csr: CSR):
 # ---------------------------------------------------------------------------
 
 
-def _rcm_device(csr: CSR):
+def _rcm_device(csr: CSR, peripheral_iters: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -163,6 +163,36 @@ def _rcm_device(csr: CSR):
     degrees = (indptr[1:] - indptr[:-1]).astype(jnp.int32)
     INF = jnp.int32(2**31 - 1)
 
+    # pseudo-peripheral root for the first (usually giant) component:
+    # repeated BFS restarting from a min-degree vertex of the deepest
+    # level (the reference's PeripheralNode loop, rcm_reorder.cc:22-81);
+    # later components fall back to lowest-id seeds.
+    def _bfs_far(root):
+        def bcond(s):
+            _, frontier, _ = s
+            return jnp.any(frontier)
+
+        def bbody(s):
+            lev, frontier, it = s
+            active = frontier[row_of]
+            reached = jnp.zeros((n,), bool).at[col].max(active)
+            nxt = reached & (lev < 0)
+            lev = jnp.where(nxt, it + 1, lev)
+            return lev, nxt, it + 1
+
+        lev0 = jnp.full((n,), -1, jnp.int32).at[root].set(0)
+        f0 = jnp.zeros((n,), bool).at[root].set(True)
+        lev, _, _ = jax.lax.while_loop(bcond, bbody, (lev0, f0, jnp.int32(0)))
+        lev_max = jnp.max(lev)
+        on_last = lev == lev_max
+        min_deg = jnp.min(jnp.where(on_last, degrees, INF))
+        ids = jnp.arange(n, dtype=jnp.int32)
+        return jnp.min(jnp.where(on_last & (degrees == min_deg), ids, INF))
+
+    first_root = jnp.int32(0)
+    for _ in range(max(int(peripheral_iters), 0)):
+        first_root = _bfs_far(first_root)
+
     def cond(state):
         pos, visited, curr_pos, counter, comp_of, comp_counter = state
         return ~jnp.all(visited)
@@ -173,8 +203,10 @@ def _rcm_device(csr: CSR):
 
         def seed(args):
             pos, visited, curr_pos, counter, comp_of, comp_counter = args
-            # lowest-id unvisited vertex starts a new component
-            root = jnp.argmin(jnp.where(visited, INF, jnp.arange(n, dtype=jnp.int32)))
+            # first component: pseudo-peripheral root; later components:
+            # lowest-id unvisited vertex
+            lowest = jnp.argmin(jnp.where(visited, INF, jnp.arange(n, dtype=jnp.int32)))
+            root = jnp.where(comp_counter == 0, first_root, lowest).astype(lowest.dtype)
             pos = pos.at[root].set(counter)
             visited = visited.at[root].set(True)
             curr_pos = jnp.full((n,), INF, jnp.int32).at[root].set(counter)
