@@ -326,3 +326,72 @@ class TestHaloRefine:
         before = np.bincount(np.asarray(labels0), minlength=k)
         # the oversized part must not grow
         assert sizes[1] <= before[1]
+
+
+class TestHeavyEdgeMatching:
+    def test_valid_matching_random(self, mesh, rng):
+        # symmetric weighted graph
+        n = 64
+        r0 = rng.integers(0, n, 200).astype(np.int32)
+        c0 = rng.integers(0, n, 200).astype(np.int32)
+        keep = r0 != c0
+        r0, c0 = r0[keep], c0[keep]
+        r = np.concatenate([r0, c0])
+        c = np.concatenate([c0, r0])
+        w = rng.random(len(r0)).astype(np.float32)
+        v = np.concatenate([w, w])
+        keys = r.astype(np.int64) * n + c
+        uniq, idx = np.unique(keys, return_index=True)
+        r, c, v = r[idx], c[idx], v[idx]
+        csr = coo_to_csr(COO.new(r, c, v, shape=(n, n)))
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        match = np.asarray(halo.heavy_edge_matching(sh, mesh, rounds=6))
+        # involution: match[match[v]] == v
+        assert (match[match] == np.arange(n)).all()
+        # matched pairs are actual edges
+        A = np.zeros((n, n), bool)
+        A[r, c] = True
+        for vtx in range(n):
+            if match[vtx] != vtx:
+                assert A[vtx, match[vtx]], (vtx, match[vtx])
+
+    def test_path_matches_most(self, mesh):
+        n = 32
+        sh = ShardedCSR.from_csr(path_csr(n), mesh, halo=True)
+        match = np.asarray(halo.heavy_edge_matching(sh, mesh, rounds=8))
+        assert (match[match] == np.arange(n)).all()
+        matched = (match != np.arange(n)).sum()
+        # a path admits a perfect matching; handshake rounds should pair
+        # most vertices (maximal matching >= n/2 of max)
+        assert matched >= n // 2
+
+    def test_weight_quality_vs_greedy(self, mesh, rng):
+        # handshake matching >= 1/2 the weight of host greedy matching
+        n = 48
+        r0 = rng.integers(0, n, 150).astype(np.int32)
+        c0 = rng.integers(0, n, 150).astype(np.int32)
+        keep = r0 != c0
+        r0, c0 = r0[keep], c0[keep]
+        w0 = rng.random(len(r0)).astype(np.float32)
+        r = np.concatenate([r0, c0]); c = np.concatenate([c0, r0])
+        v = np.concatenate([w0, w0])
+        keys = r.astype(np.int64) * n + c
+        uniq, idx = np.unique(keys, return_index=True)
+        r, c, v = r[idx], c[idx], v[idx]
+        csr = coo_to_csr(COO.new(r, c, v, shape=(n, n)))
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        match = np.asarray(halo.heavy_edge_matching(sh, mesh, rounds=8))
+        got = sum(
+            float(v[(r == a) & (c == match[a])][0])
+            for a in range(n) if match[a] > a
+        )
+        # host greedy: sort edges by weight desc, take if both free
+        order = np.argsort(-v)
+        used = np.zeros(n, bool)
+        greedy = 0.0
+        for k in order:
+            a, b = int(r[k]), int(c[k])
+            if not used[a] and not used[b] and a != b:
+                used[a] = used[b] = True
+                greedy += float(v[k])
+        assert got >= 0.5 * greedy, (got, greedy)
