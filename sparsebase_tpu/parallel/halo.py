@@ -712,3 +712,96 @@ def heavy_edge_matching(sh: ShardedCSR, mesh: Mesh, rounds: int = 4):
     )
     out = run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map, vals)
     return out.reshape(-1)[:n]
+
+
+# --------------------------------------------------------------------------
+# Contraction (distributed coarsening)
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _coarsen_runner(mesh, axis, n, d, rows, width, halo_s):
+    big = jnp.iinfo(jnp.int32).max
+
+    def body(indptr, nnz_local, halo_send, halo_map, vals, match):
+        ip, cnt, hs, hm = indptr[0], nnz_local[0], halo_send[0], halo_map[0]
+        match_l = match[0]
+        shard_id = jax.lax.axis_index(axis)
+        grows = shard_id * rows + jnp.arange(rows, dtype=jnp.int32)
+        in_range = grows < n
+
+        # 1. coarse ids for representatives (rep = lower endpoint of a
+        #    pair, or an unmatched vertex): distributed counting rank
+        rep = in_range & (grows <= match_l)
+        local_prefix = jnp.cumsum(rep.astype(jnp.int32)) - rep.astype(jnp.int32)
+        local_count = jnp.sum(rep.astype(jnp.int32))
+        counts = jax.lax.all_gather(local_count, axis)  # (D,)
+        offset = jnp.sum(jnp.where(jnp.arange(d) < shard_id, counts, 0))
+        n_coarse = jax.lax.psum(local_count, axis)
+        cid = jnp.where(rep, offset + local_prefix, -1)
+
+        # 2. non-reps take their partner's coarse id. The partner is a
+        #    neighbor (matched along an edge), so its cid arrives with
+        #    one halo exchange; select the entry pointing at the partner.
+        ext_cid = _exchange(cid, hs, axis)
+        ids_ext = _exchange(grows, hs, axis)
+        lrow = _local_row_of(ip, width)
+        valid = jnp.arange(width, dtype=jnp.int32) < cnt
+        nb_gid = ids_ext[hm]
+        from_partner = valid & (nb_gid == match_l[lrow])
+        partner_cid = jnp.full((rows,), big, jnp.int32).at[lrow].min(
+            jnp.where(from_partner, ext_cid[hm], big), mode="drop"
+        )
+        cid = jnp.where(rep, cid, jnp.where(partner_cid < big, partner_cid, -1))
+
+        # 3. relabel edges into coarse space (second cid exchange now that
+        #    every vertex has one); intra-pair edges become sentinels
+        ext_cid2 = _exchange(cid, hs, axis)
+        cu = cid[lrow]
+        cv = ext_cid2[hm]
+        keep = valid & (cu >= 0) & (cv >= 0) & (cu != cv)
+        crow = jnp.where(keep, cu, big)
+        ccol = jnp.where(keep, cv, 0)
+        cw = jnp.where(keep, vals[0], 0.0)
+        return crow[None], ccol[None], cw[None], n_coarse
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(P(axis),) * 6,
+        out_specs=(P(axis), P(axis), P(axis), P()),
+    )
+    return jax.jit(fn)
+
+
+def coarsen(sh: ShardedCSR, match, mesh: Mesh, halo: bool = True) -> ShardedCSR:
+    """Contract a matching into the coarse graph, fully distributed —
+    with :func:`heavy_edge_matching` this is one level of multilevel
+    coarsening (SURVEY.md §7 phase 4/5; the reference's only coarsening
+    lives inside METIS). Matched pairs merge into one coarse vertex
+    (owned by the lower endpoint), edges are relabeled via two halo
+    exchanges of coarse ids, intra-pair edges drop, and the relabeled
+    entries are routed to their coarse row-block owners with
+    :meth:`ShardedCSR.from_coo_sharded`'s all_to_all. Parallel edges are
+    kept (weights accumulate in downstream reductions), matching
+    accumulate-duplicates semantics elsewhere in the package.
+
+    Returns the coarse ``ShardedCSR`` (with halo metadata when
+    ``halo=True``)."""
+    _require_halo(sh)
+    axis, n, d, rows, width, halo_s = _statics(sh)
+    run = _coarsen_runner(mesh, axis, n, d, rows, width, halo_s)
+    vals = (
+        sh.vals.astype(jnp.float32)
+        if sh.vals is not None
+        else jnp.ones(sh.indices.shape, jnp.float32)
+    )
+    crow, ccol, cw, n_coarse = run(
+        sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map, vals,
+        _pad_vec(jnp.asarray(match, jnp.int32), d, rows, n),
+    )
+    nc = int(np.asarray(jax.device_get(n_coarse)))
+    big = jnp.iinfo(jnp.int32).max
+    flat_r = crow.reshape(-1)
+    # sentinel rows (big) -> nc so from_coo_sharded's pad logic drops them
+    flat_r = jnp.where(flat_r == big, nc, flat_r)
+    out = ShardedCSR.from_coo_sharded(
+        flat_r, ccol.reshape(-1), cw.reshape(-1), (nc, nc), mesh, axis=axis
+    )
+    return out.with_halo() if halo else out

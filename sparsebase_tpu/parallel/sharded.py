@@ -288,6 +288,8 @@ class ShardedCSR(Format):
         for k in range(d):
             lo = k * rows
             hi = min(lo + rows, n)
+            if hi <= lo:
+                continue  # shard entirely past n (small matrices on big meshes)
             indptr[lo + 1 : hi + 1] = base + lp[k, 1 : hi - lo + 1]
             cnt = int(nnz_local[k])
             chunks_i.append(li[k, :cnt])

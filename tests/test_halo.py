@@ -395,3 +395,71 @@ class TestHeavyEdgeMatching:
                 used[a] = used[b] = True
                 greedy += float(v[k])
         assert got >= 0.5 * greedy, (got, greedy)
+
+
+class TestCoarsen:
+    def _host_coarse(self, r, c, v, match, n):
+        # host model: rep = lower endpoint; coarse ids by rep rank
+        rep = np.arange(n) <= match
+        cid = np.cumsum(rep) - 1
+        cid = np.where(rep, cid, cid[match])
+        cu, cv = cid[r], cid[c]
+        keep = cu != cv
+        edges = {}
+        for a, b, w in zip(cu[keep], cv[keep], v[keep]):
+            edges[(int(a), int(b))] = edges.get((int(a), int(b)), 0.0) + float(w)
+        return int(rep.sum()), edges
+
+    def test_path_contraction(self, mesh):
+        n = 32
+        csr = path_csr(n)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        match = np.asarray(halo.heavy_edge_matching(sh, mesh, rounds=8))
+        coarse = halo.coarsen(sh, match, mesh)
+        r = np.repeat(np.arange(n), np.diff(np.asarray(csr.indptr)))
+        c = np.asarray(csr.indices)
+        v = np.ones(len(r), np.float32)
+        nc, want_edges = self._host_coarse(r, c, v, match, n)
+        assert coarse.shape == (nc, nc)
+        back = coarse.to_csr()
+        rr = np.repeat(np.arange(nc), np.diff(np.asarray(back.indptr)))
+        cc = np.asarray(back.indices)
+        ww = np.asarray(back.vals)
+        got_edges = {}
+        for a, b, w in zip(rr, cc, ww):
+            got_edges[(int(a), int(b))] = got_edges.get((int(a), int(b)), 0.0) + float(w)
+        assert got_edges.keys() == want_edges.keys()
+        for k in want_edges:
+            np.testing.assert_allclose(got_edges[k], want_edges[k], rtol=1e-6)
+
+    def test_weighted_random_contraction(self, mesh, rng):
+        n = 48
+        r0 = rng.integers(0, n, 150).astype(np.int32)
+        c0 = rng.integers(0, n, 150).astype(np.int32)
+        keep = r0 != c0
+        r0, c0 = r0[keep], c0[keep]
+        w0 = rng.random(len(r0)).astype(np.float32)
+        r = np.concatenate([r0, c0]); c = np.concatenate([c0, r0])
+        v = np.concatenate([w0, w0])
+        keys = r.astype(np.int64) * n + c
+        uniq, idx = np.unique(keys, return_index=True)
+        r, c, v = r[idx], c[idx], v[idx]
+        csr = coo_to_csr(COO.new(r, c, v, shape=(n, n)))
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        match = np.asarray(halo.heavy_edge_matching(sh, mesh, rounds=8))
+        coarse = halo.coarsen(sh, match, mesh)
+        nc, want_edges = self._host_coarse(
+            np.repeat(np.arange(n), np.diff(np.asarray(csr.indptr))),
+            np.asarray(csr.indices), np.asarray(csr.vals), match, n
+        )
+        assert coarse.shape == (nc, nc)
+        # weight conservation: coarse total = original total - intra-pair
+        total_want = sum(want_edges.values())
+        back = coarse.to_csr()
+        np.testing.assert_allclose(
+            float(np.asarray(back.vals).sum()), total_want, rtol=1e-5
+        )
+        # two-level: matching + coarsen again composes
+        match2 = np.asarray(halo.heavy_edge_matching(coarse, mesh, rounds=6))
+        coarse2 = halo.coarsen(coarse, match2, mesh)
+        assert coarse2.shape[0] <= coarse.shape[0]
