@@ -28,6 +28,10 @@ the tests verify):
 * :func:`edge_cut` / :func:`refine_partition` — sharded-label cut and
   boundary refinement; mover admission is exact top-headroom per part
   via psum'd gain-bucket histograms (O(D·k·G) comm, no replicated sort).
+* :func:`heavy_edge_matching` / :func:`coarsen` /
+  :func:`multilevel_partition` — distributed multilevel machinery:
+  handshake matching (randomized tie-breaks), graph contraction with
+  all_to_all owner routing, and the full V-cycle partitioner.
 
 Compiled runners are cached per (mesh, static shapes) so repeated calls
 — experiment loops, scaling sweeps — pay tracing/compilation once.
@@ -761,16 +765,17 @@ def _coarsen_runner(mesh, axis, n, d, rows, width, halo_s):
         crow = jnp.where(keep, cu, big)
         ccol = jnp.where(keep, cv, 0)
         cw = jnp.where(keep, vals[0], 0.0)
-        return crow[None], ccol[None], cw[None], n_coarse
+        return crow[None], ccol[None], cw[None], cid[None], n_coarse
 
     fn = shard_map(
         body, mesh=mesh, in_specs=(P(axis),) * 6,
-        out_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
     )
     return jax.jit(fn)
 
 
-def coarsen(sh: ShardedCSR, match, mesh: Mesh, halo: bool = True) -> ShardedCSR:
+def coarsen(sh: ShardedCSR, match, mesh: Mesh, halo: bool = True,
+            return_mapping: bool = False):
     """Contract a matching into the coarse graph, fully distributed —
     with :func:`heavy_edge_matching` this is one level of multilevel
     coarsening (SURVEY.md §7 phase 4/5; the reference's only coarsening
@@ -783,7 +788,8 @@ def coarsen(sh: ShardedCSR, match, mesh: Mesh, halo: bool = True) -> ShardedCSR:
     accumulate-duplicates semantics elsewhere in the package.
 
     Returns the coarse ``ShardedCSR`` (with halo metadata when
-    ``halo=True``)."""
+    ``halo=True``); with ``return_mapping=True`` also the (n,) fine→coarse
+    vertex map."""
     _require_halo(sh)
     axis, n, d, rows, width, halo_s = _statics(sh)
     run = _coarsen_runner(mesh, axis, n, d, rows, width, halo_s)
@@ -792,7 +798,7 @@ def coarsen(sh: ShardedCSR, match, mesh: Mesh, halo: bool = True) -> ShardedCSR:
         if sh.vals is not None
         else jnp.ones(sh.indices.shape, jnp.float32)
     )
-    crow, ccol, cw, n_coarse = run(
+    crow, ccol, cw, cid, n_coarse = run(
         sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map, vals,
         _pad_vec(jnp.asarray(match, jnp.int32), d, rows, n),
     )
@@ -804,4 +810,58 @@ def coarsen(sh: ShardedCSR, match, mesh: Mesh, halo: bool = True) -> ShardedCSR:
     out = ShardedCSR.from_coo_sharded(
         flat_r, ccol.reshape(-1), cw.reshape(-1), (nc, nc), mesh, axis=axis
     )
-    return out.with_halo() if halo else out
+    out = out.with_halo() if halo else out
+    if return_mapping:
+        return out, cid.reshape(-1)[:n]
+    return out
+
+
+def multilevel_partition(
+    sh: ShardedCSR,
+    k: int,
+    mesh: Mesh,
+    coarsen_until: int = 256,
+    max_levels: int = 8,
+    lp_iters: int = 20,
+    refine_rounds: int = 6,
+    balance: float = 1.1,
+):
+    """Distributed multilevel k-way partitioning — the phase-5 capstone
+    (SURVEY.md §7): a :func:`heavy_edge_matching` + :func:`coarsen`
+    ladder down to ``coarsen_until`` vertices, label-prop + refinement on
+    the coarsest graph, then projection back up with boundary refinement
+    at every level (the V-cycle of the reference's METIS dependency,
+    entirely on the mesh). Coarse vertex weights are not tracked across
+    levels — matching is near-uniform so count balance at each refinement
+    approximates weight balance; the ``balance`` cap is enforced at the
+    finest level by the final refinement.
+
+    Returns replicated (n,) labels."""
+    _require_halo(sh)
+    n = sh.shape[0]
+    ladder = [sh]
+    maps = []
+    cur = sh
+    for _ in range(max_levels):
+        if cur.shape[0] <= coarsen_until:
+            break
+        m = heavy_edge_matching(cur, mesh, rounds=6)
+        nxt, cid = coarsen(cur, np.asarray(m), mesh, return_mapping=True)
+        if nxt.shape[0] >= int(cur.shape[0] * 0.95):
+            break  # matching stalled; stop coarsening
+        maps.append(np.asarray(cid))
+        ladder.append(nxt)
+        cur = nxt
+
+    labels = label_prop_partition(cur, k, mesh, num_iters=lp_iters, balance=balance)
+    labels = refine_partition(cur, labels, k, mesh, rounds=refine_rounds,
+                              balance=balance)
+    labels = np.asarray(labels)
+    # project back up: fine label = its coarse vertex's label, then refine
+    for level in range(len(maps) - 1, -1, -1):
+        labels = labels[maps[level]]
+        labels = np.asarray(
+            refine_partition(ladder[level], labels, k, mesh,
+                             rounds=refine_rounds, balance=balance)
+        )
+    return labels

@@ -463,3 +463,42 @@ class TestCoarsen:
         match2 = np.asarray(halo.heavy_edge_matching(coarse, mesh, rounds=6))
         coarse2 = halo.coarsen(coarse, match2, mesh)
         assert coarse2.shape[0] <= coarse.shape[0]
+
+
+class TestMultilevelPartition:
+    def test_beats_flat_labelprop(self, mesh, rng):
+        # locality-rich graph: 2-D grid; multilevel should cut no worse
+        # than flat LP+refine
+        side = 14
+        n = side * side
+        rows, cols = [], []
+        for i in range(side):
+            for j in range(side):
+                v = i * side + j
+                for di, dj in ((0, 1), (1, 0)):
+                    ii, jj = i + di, j + dj
+                    if ii < side and jj < side:
+                        u = ii * side + jj
+                        rows += [v, u]
+                        cols += [u, v]
+        csr = coo_to_csr(
+            COO.new(np.array(rows, np.int32), np.array(cols, np.int32), None,
+                    shape=(n, n))
+        )
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        k = 4
+        ml = halo.multilevel_partition(sh, k, mesh, coarsen_until=32)
+        fx.check_partition(np.asarray(ml), n, k)
+        cut_ml = int(np.asarray(halo.edge_cut(sh, jnp.asarray(ml), mesh)))
+        flat = halo.label_prop_partition(sh, k, mesh, num_iters=20)
+        flat = halo.refine_partition(sh, flat, k, mesh, rounds=6)
+        cut_flat = int(np.asarray(halo.edge_cut(sh, jnp.asarray(flat), mesh)))
+        assert cut_ml <= cut_flat * 1.2, (cut_ml, cut_flat)
+        sizes = np.bincount(np.asarray(ml), minlength=k)
+        assert sizes.max() <= 1.35 * n / k
+
+    def test_valid_on_random(self, mesh, rng):
+        csr = random_csr(rng, n=120, avg_deg=5)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        labels = halo.multilevel_partition(sh, 3, mesh, coarsen_until=24)
+        fx.check_partition(np.asarray(labels), 120, 3)
