@@ -407,8 +407,12 @@ def _labelprop_runner(mesh, axis, n, d, rows, width, k, num_iters, cap):
         best = jnp.argmax(scores, axis=1).astype(jnp.int32)
         best_score = jnp.max(scores, axis=1)
         active = ((grows + it) % 2 == 0) & ((indptr_l[1:] - indptr_l[:-1]) > 0)
-        return jnp.where(active & (best_score > cur_score * 1.000001 + 1e-6),
-                         best, local_labels)[None, :]
+        # never empty a part (see halo.label_prop_partition)
+        keeps_alive = sizes[jnp.clip(local_labels, 0, k - 1)] > 1.5
+        return jnp.where(
+            active & keeps_alive & (best_score > cur_score * 1.000001 + 1e-6),
+            best, local_labels,
+        )[None, :]
 
     step_fn = shard_map(
         step,

@@ -207,7 +207,7 @@ def bfs_levels(sh: ShardedCSR, root, mesh: Mesh, max_iters: Optional[int] = None
 # --------------------------------------------------------------------------
 @functools.lru_cache(maxsize=None)
 def _labelprop_runner(mesh, axis, n, d, rows, width, halo_s, k, num_iters, cap):
-    def step(indptr, nnz_local, halo_send, halo_map, labels, it):
+    def step(indptr, nnz_local, halo_send, halo_map, labels, vw, it):
         ip, cnt = indptr[0], nnz_local[0]
         lab_l = labels[0]
         ext = _exchange(lab_l, halo_send[0], axis)
@@ -222,7 +222,7 @@ def _labelprop_runner(mesh, axis, n, d, rows, width, halo_s, k, num_iters, cap):
         grows = shard_id * rows + jnp.arange(rows)
         in_range = grows < n
         local_sizes = jnp.zeros((k,), jnp.float32).at[lab_l].add(
-            in_range.astype(jnp.float32), mode="drop"
+            jnp.where(in_range, vw[0], 0.0), mode="drop"
         )
         sizes = jax.lax.psum(local_sizes, axis)
         # PULP-style multiplicative balance weight: a part at capacity
@@ -235,22 +235,29 @@ def _labelprop_runner(mesh, axis, n, d, rows, width, halo_s, k, num_iters, cap):
         best = jnp.argmax(scores, axis=1).astype(jnp.int32)
         best_score = jnp.max(scores, axis=1)
         active = ((grows + it) % 2 == 0) & ((ip[1:] - ip[:-1]) > 0)
-        move = active & (best_score > cur_score * 1.000001 + 1e-6)
+        # a part must never empty — LP and refinement can only grow parts
+        # that exist in some neighborhood, so an emptied part is stuck
+        # empty forever (matters on coarse multilevel graphs)
+        keeps_alive = sizes[jnp.clip(lab_l, 0, k - 1)] - vw[0] > 1e-6
+        move = active & keeps_alive & (best_score > cur_score * 1.000001 + 1e-6)
         return jnp.where(move, best, lab_l)[None]
 
     step_fn = shard_map(
-        step, mesh=mesh, in_specs=(P(axis),) * 4 + (P(axis), P()), out_specs=P(axis)
+        step,
+        mesh=mesh,
+        in_specs=(P(axis),) * 4 + (P(axis), P(axis), P()),
+        out_specs=P(axis),
     )
 
     @jax.jit
-    def run(indptr, nnz_local, halo_send, halo_map):
+    def run(indptr, nnz_local, halo_send, halo_map, vw):
         labels0 = ((jnp.arange(d * rows, dtype=jnp.int32) * k) // max(n, 1)).reshape(
             d, rows
         )
         labels0 = jnp.minimum(labels0, k - 1)
 
         def body(i, labels):
-            return step_fn(indptr, nnz_local, halo_send, halo_map, labels, i)
+            return step_fn(indptr, nnz_local, halo_send, halo_map, labels, vw, i)
 
         return jax.lax.fori_loop(0, num_iters, body, labels0)
 
@@ -263,17 +270,27 @@ def label_prop_partition(
     mesh: Mesh,
     num_iters: int = 10,
     balance: float = 1.1,
+    vertex_weights=None,
 ):
     """Size-constrained label propagation with **sharded** labels: each
     iteration exchanges only halo neighbor labels (all_to_all) plus a
-    (k,) psum of part sizes. Semantics match dist.label_prop_partition."""
+    (k,) psum of part sizes. ``vertex_weights`` (n,) switches the balance
+    constraint from vertex counts to weight sums (multilevel coarse
+    levels, PULP's vertex-weight mode)."""
     _require_halo(sh)
     axis, n, d, rows, width, halo_s = _statics(sh)
-    cap = balance * n / k
+    if vertex_weights is None:
+        total = float(n)
+        vw = jnp.ones((n,), jnp.float32)
+    else:
+        vw = jnp.asarray(vertex_weights, jnp.float32)
+        total = float(np.asarray(jax.device_get(jnp.sum(vw))))
+    cap = balance * total / k
     run = _labelprop_runner(
         mesh, axis, n, d, rows, width, halo_s, int(k), int(num_iters), cap
     )
-    labels = run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map)
+    labels = run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map,
+                 _pad_vec(vw, d, rows, n))
     return labels.reshape(-1)[:n]
 
 
@@ -510,11 +527,13 @@ def edge_cut(sh: ShardedCSR, labels, mesh: Mesh):
 def _refine_runner(mesh, axis, n, d, rows, width, halo_s, k, rounds, cap, G):
     big = jnp.iinfo(jnp.int32).max
 
-    def round_body(indptr, nnz_local, halo_send, halo_map, lab):
-        # lab: (1, rows) local labels. One halo exchange of labels feeds
-        # both the affinity counts and the cut.
+    def round_body(indptr, nnz_local, halo_send, halo_map, lab, vw):
+        # lab: (1, rows) local labels; vw: (1, rows) vertex weights. One
+        # halo exchange of labels feeds both the affinity counts and the
+        # cut.
         ip, cnt = indptr[0], nnz_local[0]
         lab_l = lab[0]
+        w_row = vw[0]
         ext = _exchange(lab_l, halo_send[0], axis)
         lrow = _local_row_of(ip, width)
         valid = jnp.arange(width, dtype=jnp.int32) < cnt
@@ -528,47 +547,57 @@ def _refine_runner(mesh, axis, n, d, rows, width, halo_s, k, rounds, cap, G):
         grows = shard_id * rows + jnp.arange(rows, dtype=jnp.int32)
         in_range = grows < n
         sizes = jax.lax.psum(
-            jnp.zeros((k,), jnp.int32).at[lab_l].add(
-                in_range.astype(jnp.int32), mode="drop"
+            jnp.zeros((k,), jnp.float32).at[lab_l].add(
+                jnp.where(in_range, w_row, 0.0), mode="drop"
             ),
             axis,
         )
-        headroom = jnp.maximum((cap - sizes.astype(jnp.float32)), 0.0).astype(jnp.int32)
+        headroom = jnp.maximum(cap - sizes, 0.0)
         cur_aff = jnp.take_along_axis(counts, lab_l[:, None].astype(jnp.int32), 1)[:, 0]
-        full = sizes.astype(jnp.float32) >= cap
+        full = sizes >= cap
         masked = jnp.where(full[None, :], -big, counts)
         masked = masked.at[jnp.arange(rows), lab_l].set(-big)
         best = jnp.argmax(masked, axis=1).astype(jnp.int32)
         gain = jnp.where(in_range, jnp.max(masked, axis=1) - cur_aff, -1)
         g = jnp.clip(gain, 0, G)  # bucketed positive gains; 0 = no move
-        mover = in_range & (gain > 0)
+        # never empty a part (see label_prop: an empty part is stuck)
+        keeps_alive = sizes[jnp.clip(lab_l, 0, k - 1)] - w_row > 1e-6
+        mover = in_range & keeps_alive & (gain > 0)
 
-        # distributed exact top-headroom admission per part: count movers
-        # by (part, gain bucket), all_gather for shard offsets, rank =
-        # (#higher-gain movers) + (#same-bucket movers on earlier shards)
-        # + local stable rank; admit while rank < headroom[part]
+        # distributed exact top-headroom admission per part, in WEIGHT
+        # units: weighted histograms over (part, gain bucket), all_gather
+        # for shard offsets, a vertex's admission position = weight of
+        # higher-gain movers + same-bucket movers on earlier shards +
+        # local weighted prefix; admit while position + own weight fits
         bucket = jnp.where(mover, best * (G + 1) + g, k * (G + 1))
-        hist = jnp.zeros((k * (G + 1) + 1,), jnp.int32).at[bucket].add(
-            mover.astype(jnp.int32), mode="drop"
+        whist = jnp.zeros((k * (G + 1) + 1,), jnp.float32).at[bucket].add(
+            jnp.where(mover, w_row, 0.0), mode="drop"
         )[: k * (G + 1)]
-        gathered = jax.lax.all_gather(hist, axis)  # (D, k*(G+1))
+        gathered = jax.lax.all_gather(whist, axis)  # (D, k*(G+1))
         before_sh = jnp.sum(
             jnp.where((jnp.arange(d) < shard_id)[:, None], gathered, 0), axis=0
         )
         ghist = jnp.sum(gathered, axis=0).reshape(k, G + 1)
-        # movers with strictly higher gain in the same part
+        # weight of movers with strictly higher gain in the same part
         rev = jnp.cumsum(ghist[:, ::-1], axis=1)[:, ::-1]
-        higher = jnp.concatenate([rev[:, 1:], jnp.zeros((k, 1), jnp.int32)], axis=1)
-        # local stable rank within bucket (cummax head trick)
+        higher = jnp.concatenate(
+            [rev[:, 1:], jnp.zeros((k, 1), jnp.float32)], axis=1
+        )
+        # local weighted prefix within bucket (cummax head trick on the
+        # running weight sum)
         idx = jnp.arange(rows, dtype=jnp.int32)
         b_s, i_s = jax.lax.sort((bucket, idx), num_keys=1, is_stable=True)
-        pos = jnp.arange(rows, dtype=jnp.int32)
+        w_s = w_row[i_s]
+        cw = jnp.cumsum(w_s)
         head = jnp.concatenate([jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
-        run_start = jax.lax.cummax(jnp.where(head, pos, -1))
-        local_rank = jnp.zeros((rows,), jnp.int32).at[i_s].set(pos - run_start)
+        run_base = jax.lax.cummax(jnp.where(head, cw - w_s, -jnp.inf))
+        prefix_s = cw - w_s - run_base
+        local_prefix = jnp.zeros((rows,), jnp.float32).at[i_s].set(prefix_s)
         flat = jnp.clip(bucket, 0, k * (G + 1) - 1)
-        rank = higher.reshape(-1)[flat] + before_sh[flat] + local_rank
-        admit = mover & (rank < headroom[jnp.clip(best, 0, k - 1)])
+        wpos = higher.reshape(-1)[flat] + before_sh[flat] + local_prefix
+        admit = mover & (
+            wpos + w_row <= headroom[jnp.clip(best, 0, k - 1)] + 1e-6
+        )
         new_lab = jnp.where(admit, best, lab_l)
 
         cut = jax.lax.psum(
@@ -577,18 +606,18 @@ def _refine_runner(mesh, axis, n, d, rows, width, halo_s, k, rounds, cap, G):
         return new_lab[None], cut
 
     step_fn = shard_map(
-        round_body, mesh=mesh, in_specs=(P(axis),) * 5,
+        round_body, mesh=mesh, in_specs=(P(axis),) * 6,
         out_specs=(P(axis), P()),
     )
     cut_fn = _edge_cut_runner(mesh, axis, n, d, rows, width, halo_s)
 
     @jax.jit
-    def run(indptr, nnz_local, halo_send, halo_map, labels):
+    def run(indptr, nnz_local, halo_send, halo_map, labels, vw):
         cut0 = cut_fn(indptr, nnz_local, halo_send, halo_map, labels)
 
         def body(_, state):
             lab, best_lab, best_cut = state
-            new_lab, _ = step_fn(indptr, nnz_local, halo_send, halo_map, lab)
+            new_lab, _ = step_fn(indptr, nnz_local, halo_send, halo_map, lab, vw)
             new_cut = cut_fn(indptr, nnz_local, halo_send, halo_map, new_lab)
             better = new_cut < best_cut
             best_lab = jnp.where(better, new_lab, best_lab)
@@ -609,21 +638,31 @@ def refine_partition(
     rounds: int = 4,
     balance: float = 1.1,
     gain_buckets: int = 32,
+    vertex_weights=None,
 ):
     """Boundary refinement with **sharded** labels and distributed
     admission control: per round, movers are ranked per target part by
-    (gain bucket, shard, local id) using psum'd gain histograms — exact
-    top-headroom admission with O(D·k·G) communication, no replicated
-    n-length sort (vs dist.refine_partition's replicated lexsort). The
-    best labeling seen is kept, so the result is cut-monotone vs the
-    input."""
+    (gain bucket, shard, local weighted prefix) using psum'd weighted
+    gain histograms — exact top-headroom admission in weight units with
+    O(D·k·G) communication, no replicated n-length sort (vs
+    dist.refine_partition's replicated lexsort). ``vertex_weights`` (n,)
+    switches the balance constraint from counts to weight sums
+    (multilevel coarse levels). The best labeling seen is kept, so the
+    result is cut-monotone vs the input."""
     _require_halo(sh)
     axis, n, d, rows, width, halo_s = _statics(sh)
-    cap = balance * n / k
+    if vertex_weights is None:
+        total = float(n)
+        vw = jnp.ones((n,), jnp.float32)
+    else:
+        vw = jnp.asarray(vertex_weights, jnp.float32)
+        total = float(np.asarray(jax.device_get(jnp.sum(vw))))
+    cap = balance * total / k
     run = _refine_runner(mesh, axis, n, d, rows, width, halo_s,
                          int(k), int(rounds), cap, int(gain_buckets))
     lab = _pad_vec(jnp.asarray(labels, jnp.int32), d, rows, n)
-    out = run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map, lab)
+    out = run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map, lab,
+              _pad_vec(vw, d, rows, n))
     return out.reshape(-1)[:n]
 
 
@@ -831,16 +870,18 @@ def multilevel_partition(
     ladder down to ``coarsen_until`` vertices, label-prop + refinement on
     the coarsest graph, then projection back up with boundary refinement
     at every level (the V-cycle of the reference's METIS dependency,
-    entirely on the mesh). Coarse vertex weights are not tracked across
-    levels — matching is near-uniform so count balance at each refinement
-    approximates weight balance; the ``balance`` cap is enforced at the
-    finest level by the final refinement.
+    entirely on the mesh). Vertex weights accumulate through the
+    contraction (a coarse vertex weighs the sum of its merged fine
+    vertices), and every level's label propagation / refinement balances
+    in weight units, so the final labeling respects the ``balance`` cap
+    on fine-vertex counts.
 
     Returns replicated (n,) labels."""
     _require_halo(sh)
     n = sh.shape[0]
     ladder = [sh]
     maps = []
+    weights = [np.ones(n, np.float32)]
     cur = sh
     for _ in range(max_levels):
         if cur.shape[0] <= coarsen_until:
@@ -849,19 +890,27 @@ def multilevel_partition(
         nxt, cid = coarsen(cur, np.asarray(m), mesh, return_mapping=True)
         if nxt.shape[0] >= int(cur.shape[0] * 0.95):
             break  # matching stalled; stop coarsening
-        maps.append(np.asarray(cid))
+        cid = np.asarray(cid)
+        maps.append(cid)
+        weights.append(
+            np.bincount(cid, weights=weights[-1], minlength=nxt.shape[0]).astype(
+                np.float32
+            )
+        )
         ladder.append(nxt)
         cur = nxt
 
-    labels = label_prop_partition(cur, k, mesh, num_iters=lp_iters, balance=balance)
+    labels = label_prop_partition(cur, k, mesh, num_iters=lp_iters,
+                                  balance=balance, vertex_weights=weights[-1])
     labels = refine_partition(cur, labels, k, mesh, rounds=refine_rounds,
-                              balance=balance)
+                              balance=balance, vertex_weights=weights[-1])
     labels = np.asarray(labels)
     # project back up: fine label = its coarse vertex's label, then refine
     for level in range(len(maps) - 1, -1, -1):
         labels = labels[maps[level]]
         labels = np.asarray(
             refine_partition(ladder[level], labels, k, mesh,
-                             rounds=refine_rounds, balance=balance)
+                             rounds=refine_rounds, balance=balance,
+                             vertex_weights=weights[level])
         )
     return labels
