@@ -16,6 +16,7 @@ from .sharded import ShardedCSR
 from .sharded2d import Sharded2DCSR
 from . import halo
 from . import multihost
+from . import ring
 from . import sharded2d
 
 # joining the conversion graph: CSR <-> ShardedCSR placement edges
@@ -28,6 +29,7 @@ __all__ = [
     "Sharded2DCSR",
     "halo",
     "multihost",
+    "ring",
     "sharded2d",
     "make_mesh",
     "make_mesh_2d",
