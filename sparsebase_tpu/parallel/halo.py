@@ -28,6 +28,11 @@ the tests verify):
 * :func:`edge_cut` / :func:`refine_partition` — sharded-label cut and
   boundary refinement; mover admission is exact top-headroom per part
   via psum'd gain-bucket histograms (O(D·k·G) comm, no replicated sort).
+* :func:`connected_components` — min-label hooking over an optional
+  alive-mask induced subgraph; one halo all_to_all per round.
+* :func:`slashburn_reorder` — distributed SlashBurn: hub selection via
+  psum'd degree-histogram counting ranks, spokes via
+  :func:`connected_components`; exact host-order parity (non-greedy).
 * :func:`heavy_edge_matching` / :func:`coarsen` /
   :func:`multilevel_partition` — distributed multilevel machinery:
   handshake matching (randomized tie-breaks), graph contraction with
@@ -292,6 +297,79 @@ def label_prop_partition(
     labels = run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map,
                  _pad_vec(vw, d, rows, n))
     return labels.reshape(-1)[:n]
+
+
+# --------------------------------------------------------------------------
+# Connected components
+# --------------------------------------------------------------------------
+_BIG = np.iinfo(np.int32).max
+
+
+@functools.lru_cache(maxsize=None)
+def _cc_runner(mesh, axis, n, d, rows, width, halo_s, iters):
+    big = jnp.int32(_BIG)
+
+    def step(indptr, nnz_local, halo_send, halo_map, labels, alive):
+        ip, cnt, hs = indptr[0], nnz_local[0], halo_send[0]
+        lab_l, alive_l = labels[0], alive[0]
+        masked = jnp.where(alive_l, lab_l, big)  # dead verts never hook
+        ext = _exchange(masked, hs, axis)
+        lrow = _local_row_of(ip, width)
+        valid = jnp.arange(width, dtype=jnp.int32) < cnt
+        nbr = jnp.where(valid, ext[halo_map[0]], big)
+        nbr_min = jnp.full((rows,), big, jnp.int32).at[lrow].min(nbr, mode="drop")
+        return jnp.where(alive_l, jnp.minimum(masked, nbr_min), big)[None]
+
+    step_fn = shard_map(
+        step, mesh=mesh, in_specs=(P(axis),) * 6, out_specs=P(axis)
+    )
+    gids = jnp.arange(d * rows, dtype=jnp.int32).reshape(d, rows)
+
+    @jax.jit
+    def run(indptr, nnz_local, halo_send, halo_map, alive):
+        labels0 = jnp.where(alive, gids, big)
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < iters)
+
+        def body(state):
+            labels, _, it = state
+            new = step_fn(indptr, nnz_local, halo_send, halo_map, labels, alive)
+            return new, jnp.any(new != labels), it + 1
+
+        labels, _, _ = jax.lax.while_loop(
+            cond, body, (labels0, jnp.bool_(True), jnp.int32(0))
+        )
+        return labels
+
+    return run
+
+
+def connected_components(sh: ShardedCSR, mesh: Mesh, alive=None,
+                         max_iters: Optional[int] = None):
+    """Distributed connected-component labels: ``labels[v]`` = minimum
+    vertex id in v's component (min-label hooking, one halo ``all_to_all``
+    per round, O(diameter) rounds with early exit).
+
+    Assumes a symmetric adjacency, like the reference's CC pass inside
+    SlashBurn (reference: src/sparsebase/reorder/slashburn_reorder.cc —
+    its ``FindCC`` BFS over an undirected graph). ``alive`` optionally
+    restricts to the induced subgraph of a (n,) bool mask; masked-out
+    vertices get label -1 (the reference removes hub rows the same way).
+    """
+    _require_halo(sh)
+    axis, n, d, rows, width, halo_s = _statics(sh)
+    iters = int(max_iters) if max_iters is not None else n
+    run = _cc_runner(mesh, axis, n, d, rows, width, halo_s, iters)
+    if alive is None:
+        alive_p = _pad_vec(np.ones((n,), np.bool_), d, rows, n, fill=False)
+    else:
+        alive_p = _pad_vec(np.asarray(alive, np.bool_), d, rows, n, fill=False)
+    labels = run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map,
+                 jnp.asarray(alive_p))
+    labels = labels.reshape(-1)[:n]
+    return jnp.where(labels == _BIG, -1, labels)
 
 
 # --------------------------------------------------------------------------
@@ -914,3 +992,151 @@ def multilevel_partition(
                              vertex_weights=weights[level])
         )
     return labels
+
+
+# --------------------------------------------------------------------------
+# SlashBurn
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _active_degree_runner(mesh, axis, n, d, rows, width, halo_s):
+    """Per-vertex degree restricted to the ``alive`` induced subgraph:
+    one halo exchange of the alive mask + a local segment sum."""
+
+    def body(indptr, nnz_local, halo_send, halo_map, alive):
+        ip, cnt, hs = indptr[0], nnz_local[0], halo_send[0]
+        alive_l = alive[0]
+        ext = _exchange(alive_l.astype(jnp.int32), hs, axis)
+        lrow = _local_row_of(ip, width)
+        valid = jnp.arange(width, dtype=jnp.int32) < cnt
+        live = valid & alive_l[lrow] & (ext[halo_map[0]] > 0)
+        deg = jax.ops.segment_sum(live.astype(jnp.int32), lrow, num_segments=rows)
+        return deg[None]
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis),) * 5, out_specs=P(axis))
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _nbr_min_runner(mesh, axis, n, d, rows, width, halo_s):
+    """One-shot per-vertex min over neighbor values (halo exchange +
+    segment min); rows without live neighbors get INT32_MAX."""
+    big = jnp.int32(_BIG)
+
+    def body(indptr, nnz_local, halo_send, halo_map, vals_in):
+        ip, cnt, hs = indptr[0], nnz_local[0], halo_send[0]
+        ext = _exchange(vals_in[0], hs, axis)
+        lrow = _local_row_of(ip, width)
+        valid = jnp.arange(width, dtype=jnp.int32) < cnt
+        nbr = jnp.where(valid, ext[halo_map[0]], big)
+        out = jnp.full((rows,), big, jnp.int32).at[lrow].min(nbr, mode="drop")
+        return out[None]
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis),) * 5, out_specs=P(axis))
+    return jax.jit(fn)
+
+
+def slashburn_reorder(
+    sh: ShardedCSR,
+    mesh: Mesh,
+    k_size: int = 64,
+    hub_order: bool = False,
+    bucket_cap: int = 4096,
+):
+    """Distributed SlashBurn (reference semantics:
+    src/sparsebase/reorder/slashburn_reorder.cc, the non-``greedy``
+    variant — greedy recomputes degrees after every single hub removal
+    and is inherently sequential; it stays on host): iteratively place
+    the k highest-degree hubs at the front, non-giant components at the
+    back, and recurse on the giant component.
+
+    All structural passes are distributed with boundary-proportional
+    communication: active degrees (halo exchange + segment sum), hub
+    selection (psum'd degree-histogram counting rank, comm O(D·buckets) —
+    no replicated sort; ``bucket_cap`` caps the histogram, degrees above
+    it share the top bucket with id tie-breaks), connected components
+    (:func:`connected_components` min-label hooking), and ``hub_order``'s
+    discovering-hub index (one neighbor-min exchange). Host code only
+    does the O(n) position bookkeeping between rounds, like
+    :func:`multilevel_partition`'s orchestration.
+
+    Requires a symmetric adjacency (the host reorderer symmetrizes
+    first; shard a symmetrized CSR). Matches the host
+    ``SlashburnReorder(greedy=False)`` order exactly on such graphs
+    (tests/test_ring.py companion: tests/test_parallel_slashburn.py).
+    """
+    from ..ops.reorder.slashburn import _place_spokes
+
+    _require_halo(sh)
+    axis, n, d, rows, width, halo_s = _statics(sh)
+    k = max(int(k_size), 1)
+    nb = int(bucket_cap)
+
+    deg_run = _active_degree_runner(mesh, axis, n, d, rows, width, halo_s)
+    rank_run = _counting_rank_runner(mesh, axis, n, d, rows, nb)
+    nbrmin_run = _nbr_min_runner(mesh, axis, n, d, rows, width, halo_s)
+
+    order = np.full(n, -1, np.int64)
+    active = np.ones(n, bool)
+    front = 0
+    back = n - 1
+
+    def cc_host(mask):
+        lab = np.asarray(
+            jax.device_get(connected_components(sh, mesh, alive=mask))
+        ).astype(np.int64)
+        return lab
+
+    labels = cc_host(active)
+    sizes = np.bincount(labels[labels >= 0], minlength=n)
+    gcc = int(np.argmax(sizes)) if sizes.size else 0
+    back, active = _place_spokes(order, labels, active, gcc, back)
+
+    while True:
+        count = int(active.sum())
+        if count == 0:
+            break
+        if count < k:
+            verts = np.nonzero(active)[0]
+            order[verts] = back - count + 1 + np.arange(count)
+            back -= count
+            break
+        alive_p = jnp.asarray(_pad_vec(active, d, rows, n, fill=False))
+        deg = deg_run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map, alive_p)
+        # descending-degree bucket key, ascending-id tie-break via the
+        # stable counting rank; bucket nb-1 is reserved for inactive rows
+        key = (nb - 2) - jnp.clip(deg, 0, nb - 2)
+        key = jnp.where(alive_p, key, nb - 1).astype(jnp.int32)
+        ranks = np.asarray(
+            jax.device_get(rank_run(key, alive_p))
+        ).reshape(-1)[:n]
+        hubs_mask = active & (ranks < k)
+        hub_rank = np.where(hubs_mask, ranks, _BIG).astype(np.int64)
+        order[hubs_mask] = front + ranks[hubs_mask]
+        front += k
+        active = active & ~hubs_mask
+        hub_of = None
+        if hub_order:
+            hr_p = jnp.asarray(
+                _pad_vec(np.where(hubs_mask, ranks, _BIG).astype(np.int32),
+                         d, rows, n, fill=_BIG)
+            )
+            hub_of = np.asarray(
+                jax.device_get(
+                    nbrmin_run(sh.indptr, sh.nnz_local, sh.halo_send,
+                               sh.halo_map, hr_p)
+                )
+            ).reshape(-1)[:n].astype(np.int64)
+            hub_of = np.where(hub_of == _BIG, np.iinfo(np.int64).max, hub_of)
+        labels = cc_host(active)
+        live = labels[labels >= 0]
+        if live.size == 0:
+            break
+        sizes = np.bincount(live, minlength=n)
+        gcc = int(np.argmax(sizes))
+        back, active = _place_spokes(order, labels, active, gcc, back, hub_of)
+        if int(sizes[gcc]) < k:
+            verts = np.nonzero(active)[0]
+            order[verts] = back - verts.size + 1 + np.arange(verts.size)
+            back -= verts.size
+            break
+    return order.astype(np.int32)

@@ -1,0 +1,95 @@
+"""Distributed connected components + SlashBurn vs the host reorderer.
+
+All structural passes run over the 8-device mesh with halo exchanges;
+the host SlashburnReorder(greedy=False) order is the exact oracle on
+symmetric graphs (the reference algorithm, slashburn_reorder.cc).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.csgraph as csgraph
+
+from sparsebase_tpu.formats.csr import CSR
+from sparsebase_tpu.ops.reorder.slashburn import SlashburnReorderParams, _slashburn_host
+from sparsebase_tpu.parallel import ShardedCSR, halo, make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def random_sym_csr(rng, n=80, avg_deg=3):
+    nnz = n * avg_deg
+    row = rng.integers(0, n, nnz).astype(np.int64)
+    col = rng.integers(0, n, nnz).astype(np.int64)
+    keep = row != col
+    row, col = row[keep], col[keep]
+    row, col = np.concatenate([row, col]), np.concatenate([col, row])
+    keys = np.unique(row * n + col)
+    row = (keys // n).astype(np.int32)
+    col = (keys % n).astype(np.int32)
+    counts = np.bincount(row, minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return CSR(indptr, col, None, (n, n))
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_scipy(self, mesh, seed):
+        rng = np.random.default_rng(seed)
+        n = 72 + 8 * seed
+        csr = random_sym_csr(rng, n=n, avg_deg=2)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        got = np.asarray(jax.device_get(halo.connected_components(sh, mesh)))
+        m = sp.csr_matrix(
+            (np.ones(csr.nnz), np.asarray(csr.indices), np.asarray(csr.indptr)),
+            shape=(n, n),
+        )
+        _, want = csgraph.connected_components(m, directed=False)
+        # same partition into components (labels differ; ours = min id)
+        for lab in np.unique(got):
+            members = got == lab
+            assert len(np.unique(want[members])) == 1
+            assert lab == np.nonzero(members)[0].min()
+        assert len(np.unique(got)) == len(np.unique(want))
+
+    def test_alive_mask(self, mesh):
+        # path 0-1-2-...-15; killing vertex 8 splits it in two
+        n = 16
+        row = np.arange(n - 1)
+        edges_r = np.concatenate([row, row + 1]).astype(np.int64)
+        edges_c = np.concatenate([row + 1, row]).astype(np.int64)
+        keys = np.unique(edges_r * n + edges_c)
+        r = (keys // n).astype(np.int32)
+        c = (keys % n).astype(np.int32)
+        counts = np.bincount(r, minlength=n)
+        csr = CSR(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32), c, None, (n, n))
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        alive = np.ones(n, bool)
+        alive[8] = False
+        got = np.asarray(jax.device_get(halo.connected_components(sh, mesh, alive=alive)))
+        assert got[8] == -1
+        assert (got[:8] == 0).all()
+        assert (got[9:] == 9).all()
+
+
+class TestDistributedSlashburn:
+    @pytest.mark.parametrize("seed,k,hub_order", [(0, 8, False), (1, 4, False),
+                                                  (2, 8, True), (3, 16, False)])
+    def test_matches_host_exactly(self, mesh, seed, k, hub_order):
+        rng = np.random.default_rng(seed)
+        csr = random_sym_csr(rng, n=64 + 8 * seed, avg_deg=3)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        got = np.asarray(
+            halo.slashburn_reorder(sh, mesh, k_size=k, hub_order=hub_order)
+        )
+        want = _slashburn_host(
+            csr, SlashburnReorderParams(k_size=k, greedy=False, hub_order=hub_order)
+        )
+        assert sorted(got.tolist()) == list(range(csr.nrows))
+        np.testing.assert_array_equal(got, want)
