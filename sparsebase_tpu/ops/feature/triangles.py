@@ -127,6 +127,32 @@ def _directed_count(csr: CSR) -> int:
     return int((ok & found).sum())
 
 
+MAX_DEVICE_DENSE_N = 16384  # n² bf16 tile ≤ 512 MB
+
+
+def _device_dense_count(csr: CSR, directed: bool) -> int:
+    """MXU path: triangles as entries of A² — T = Σ A⊙A² / 6 (undirected,
+    symmetric A) or Σ Aᵀ⊙A² / 3 (directed 3-cycles). 0/1 bf16 operands
+    with exact f32 accumulation (counts ≤ n < 2²⁴); the diagonal is
+    zeroed so self-loops are ignored, matching the host path. Same
+    formulation as the distributed ring kernel (parallel/ring.py) on one
+    chip."""
+    import jax
+    import jax.numpy as jnp
+
+    n = csr.nrows
+    lrow = csr.row_of_nnz().astype(jnp.int32)
+    one = jnp.ones((csr.nnz,), jnp.bfloat16)
+    dense = jnp.zeros((n, n), jnp.bfloat16).at[lrow, csr.indices].max(one, mode="drop")
+    dense = jnp.where(jnp.eye(n, dtype=bool), jnp.bfloat16(0), dense)
+    sq = jnp.dot(dense, dense, preferred_element_type=jnp.float32)
+    if directed:
+        tri = jnp.sum(sq * dense.T.astype(jnp.float32)) / 3.0
+    else:
+        tri = jnp.sum(sq * dense.astype(jnp.float32)) / 6.0
+    return int(round(float(np.asarray(jax.device_get(tri)))))
+
+
 class TriangleCount(Feature):
     def __init__(self, count_directed: bool = False):
         super().__init__("triangle_count")
@@ -135,6 +161,11 @@ class TriangleCount(Feature):
 
     @staticmethod
     def _impl(formats, params: TriangleCountParams):
+        if (
+            xp_for(formats[0].indptr) is not np
+            and formats[0].nrows <= MAX_DEVICE_DENSE_N
+        ):
+            return _device_dense_count(formats[0], params.count_directed)
         csr: CSR = formats[0].to_host()
         from ... import native
 

@@ -164,6 +164,20 @@ class TestTriangleCount:
         expect = int(np.trace(dense @ dense @ dense) // 6)
         assert TriangleCount().get_triangle_count(g) == expect
 
+    def test_device_mxu_path(self, rng):
+        # device CSR takes the dense MXU formulation; must agree with host
+        n = 40
+        dense = (rng.random((n, n)) < 0.15).astype(np.int32)
+        np.fill_diagonal(dense, 0)
+        sym = np.maximum(dense, dense.T)
+        for d, directed in ((sym, False), (dense, True)):
+            r, c = np.nonzero(d)
+            g = COO.new(r.astype(np.int32), c.astype(np.int32), None,
+                        shape=(n, n)).convert(CSR)
+            host = TriangleCount(directed).get_triangle_count(g)
+            dev = TriangleCount(directed).get_triangle_count(g.to_device())
+            assert int(dev) == int(host)
+
 
 class TestJaccard:
     def test_k3_pendant(self):
