@@ -33,7 +33,11 @@ def load_symmetric_graph(path, device=False):
     csr = IOBase.read_mtx_to_csr(path)
     n = max(csr.shape)
     coo = csr.convert(sb.COO)
-    row = np.concatenate([np.asarray(coo.row), np.asarray(coo.col)])
-    col = np.concatenate([np.asarray(coo.col), np.asarray(coo.row)])
+    row = np.concatenate([np.asarray(coo.row), np.asarray(coo.col)]).astype(np.int64)
+    col = np.concatenate([np.asarray(coo.col), np.asarray(coo.row)]).astype(np.int64)
+    # deduplicate (a symmetric input would otherwise list every edge twice)
+    keys = np.unique(row * n + col)
+    row = (keys // n).astype(np.int32)
+    col = (keys % n).astype(np.int32)
     g = sb.COO.new(row, col, None, shape=(n, n)).convert(sb.CSR)
     return g.to_device() if device else g

@@ -20,7 +20,9 @@ collective family used by the package: ``psum`` / ``all_gather`` /
 
 Counts are exact: 0/1 values are exact in bf16, products accumulate in
 f32 (``preferred_element_type``), and every per-entry count is ≤ n <
-2²⁴. Memory is the method's limit — each device holds O(rows·n) dense
+2²⁴. Duplicate CSR entries are counted once (set semantics, the CSR
+invariant); the host paths treat lists as multisets, so feed
+deduplicated structures when comparing. Memory is the method's limit — each device holds O(rows·n) dense
 tiles — so these kernels target the bench/feature scale (n up to a few
 10⁵ on a real mesh), not the 100M-nnz ingest scale; the sparse
 binary-search formulation (:mod:`..ops.feature.jaccard`) remains the
