@@ -356,22 +356,41 @@ def _structure_runner(mesh, axis, n, d, rows, width):
         )
         prof = jax.lax.psum(prof_local, axis)
         nnz = jax.lax.psum(cnt.astype(jnp.int32), axis)
-        return bw, prof, nnz
+        # degree scalars (GraphFeatureBase min/max/avg parity): pad rows
+        # (global id ≥ n) are excluded from the min/max reductions
+        deg_l = (indptr_l[1:] - indptr_l[:-1]).astype(jnp.int32)
+        big = jnp.iinfo(jnp.int32).max
+        min_deg = jax.lax.pmin(
+            jnp.min(jnp.where(grows < n, deg_l, big)), axis
+        )
+        max_deg = jax.lax.pmax(jnp.max(jnp.where(grows < n, deg_l, 0)), axis)
+        return bw, prof, nnz, min_deg, max_deg
 
     fn = shard_map(
-        body, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)), out_specs=(P(), P(), P())
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(),) * 5,
     )
     return jax.jit(fn)
 
 
 def structure_features(sh: ShardedCSR, mesh: Mesh):
-    """Distributed bandwidth / profile / nnz in one pass: per-shard
-    reductions combined with ``psum``/``pmax`` (the GraphFeatureBase
-    scalars over a sharded matrix). Returns a dict of replicated scalars."""
+    """Distributed bandwidth / profile / nnz / min/max/avg degree in one
+    pass: per-shard reductions combined with ``psum``/``pmax``/``pmin``
+    (the GraphFeatureBase scalars over a sharded matrix). Returns a dict
+    of replicated scalars."""
     axis, n, d, rows, width = _statics(sh)
     f = _structure_runner(mesh, axis, n, d, rows, width)
-    bw, prof, nnz = f(sh.indptr, sh.indices, sh.nnz_local)
-    return {"bandwidth": bw, "profile": prof, "nnz": nnz}
+    bw, prof, nnz, min_deg, max_deg = f(sh.indptr, sh.indices, sh.nnz_local)
+    return {
+        "bandwidth": bw,
+        "profile": prof,
+        "nnz": nnz,
+        "min_degree": min_deg,
+        "max_degree": max_deg,
+        "avg_degree": nnz.astype(jnp.float32) / max(n, 1),
+    }
 
 
 @functools.lru_cache(maxsize=None)

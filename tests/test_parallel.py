@@ -211,6 +211,10 @@ class TestStructureFeatures:
         assert int(feats["nnz"]) == csr.nnz
         assert int(feats["bandwidth"]) == int(Bandwidth().get_bandwidth(csr))
         assert int(feats["profile"]) == int(Profile().get_profile(csr))
+        deg = np.diff(np.asarray(csr.indptr))
+        assert int(feats["min_degree"]) == int(deg.min())
+        assert int(feats["max_degree"]) == int(deg.max())
+        assert abs(float(feats["avg_degree"]) - deg.mean()) < 1e-5
 
 
 class TestDistributedHeatmap:
