@@ -217,6 +217,36 @@ def run_distributed():
             "edge_cut_refined": int(np.asarray(dist.edge_cut(sh, refined, mesh))),
             "total_nnz": g.nnz,
         }
+
+        # distributed SlashBurn: exact host-order parity (non-greedy)
+        from .ops.reorder.slashburn import SlashburnReorderParams, _slashburn_host
+
+        t0 = time.perf_counter()
+        sb_dist = np.asarray(halo.slashburn_reorder(sh, mesh, k_size=32))
+        t_sb = time.perf_counter() - t0
+        sb_host = np.asarray(
+            _slashburn_host(g, SlashburnReorderParams(k_size=32, greedy=False))
+        )
+        entry["slashburn_distributed_k32"] = {
+            "seconds": round(t_sb, 3),
+            "exact_host_parity": bool(np.array_equal(sb_dist, sb_host)),
+        }
+
+        # ring MXU kernels: exact vs host (skip the 20k dense tile on CPU)
+        if g.nrows <= 2048:
+            from .ops.feature.jaccard import _jaccard_host
+            from .ops.feature.triangles import _undirected_count
+            from .parallel import ring
+
+            tri = ring.triangle_count(sh, mesh)
+            jac = ring.jaccard_flat(sh, mesh)
+            entry["ring_mxu"] = {
+                "triangles": tri,
+                "triangles_match_host": bool(tri == _undirected_count(g)),
+                "jaccard_match_host": bool(
+                    np.allclose(jac, _jaccard_host(g), atol=1e-6)
+                ),
+            }
         out[name] = entry
     return out
 
