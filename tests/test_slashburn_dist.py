@@ -93,3 +93,40 @@ class TestDistributedSlashburn:
         )
         assert sorted(got.tolist()) == list(range(csr.nrows))
         np.testing.assert_array_equal(got, want)
+
+
+class TestTinyGraphs:
+    """n < n_devices: shards with zero in-range rows must be harmless."""
+
+    def test_cc_tiny(self, mesh):
+        n = 5  # triangle 0-1-2 plus edge 3-4
+        edges = [(0, 1), (1, 2), (0, 2), (3, 4)]
+        r = np.array([u for u, v in edges] + [v for u, v in edges], np.int64)
+        c = np.array([v for u, v in edges] + [u for u, v in edges], np.int64)
+        keys = np.unique(r * n + c)
+        counts = np.bincount((keys // n).astype(np.int32), minlength=n)
+        csr = CSR(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32),
+                  (keys % n).astype(np.int32), None, (n, n))
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        got = np.asarray(jax.device_get(halo.connected_components(sh, mesh)))
+        np.testing.assert_array_equal(got, [0, 0, 0, 3, 3])
+
+    def test_ring_tiny(self, mesh):
+        from sparsebase_tpu.parallel import ring
+
+        n = 4
+        dense = 1 - np.eye(n, dtype=np.int64)  # K4: 4 triangles
+        r, c = np.nonzero(dense)
+        counts = np.bincount(r, minlength=n)
+        csr = CSR(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32),
+                  c.astype(np.int32), None, (n, n))
+        sh = ShardedCSR.from_csr(csr, mesh, halo=False)
+        assert ring.triangle_count(sh, mesh) == 4
+
+    def test_slashburn_tiny(self, mesh):
+        rng = np.random.default_rng(42)
+        csr = random_sym_csr(rng, n=12, avg_deg=2)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        got = np.asarray(halo.slashburn_reorder(sh, mesh, k_size=4))
+        want = _slashburn_host(csr, SlashburnReorderParams(k_size=4, greedy=False))
+        np.testing.assert_array_equal(got, want)
