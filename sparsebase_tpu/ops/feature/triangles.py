@@ -133,12 +133,16 @@ MAX_DEVICE_DENSE_N = 16384  # n² bf16 tile ≤ 512 MB
 def _device_dense_count(csr: CSR, directed: bool) -> int:
     """MXU path: triangles as entries of A² — T = Σ A⊙A² / 6 (undirected,
     symmetric A) or Σ Aᵀ⊙A² / 3 (directed 3-cycles). 0/1 bf16 operands
-    with exact f32 accumulation (counts ≤ n < 2²⁴); the diagonal is
-    zeroed so self-loops are ignored, matching the host path. Same
-    formulation as the distributed ring kernel (parallel/ring.py) on one
-    chip."""
+    with exact f32 accumulation (per-entry counts ≤ n < 2²⁴); the
+    diagonal is zeroed so self-loops are ignored, matching the host
+    path. The *global* reduction is recovered exactly via the
+    wrapped-int32 + f32 pair (``utils.exact``): a plain f32 sum drifts
+    once 6T > 2²⁴ (~2.8M triangles). Same formulation as the
+    distributed ring kernel (parallel/ring.py) on one chip."""
     import jax
     import jax.numpy as jnp
+
+    from ...utils.exact import combine_wrapped
 
     n = csr.nrows
     lrow = csr.row_of_nnz().astype(jnp.int32)
@@ -146,11 +150,15 @@ def _device_dense_count(csr: CSR, directed: bool) -> int:
     dense = jnp.zeros((n, n), jnp.bfloat16).at[lrow, csr.indices].max(one, mode="drop")
     dense = jnp.where(jnp.eye(n, dtype=bool), jnp.bfloat16(0), dense)
     sq = jnp.dot(dense, dense, preferred_element_type=jnp.float32)
-    if directed:
-        tri = jnp.sum(sq * dense.T.astype(jnp.float32)) / 3.0
-    else:
-        tri = jnp.sum(sq * dense.astype(jnp.float32)) / 6.0
-    return int(round(float(np.asarray(jax.device_get(tri)))))
+    mask = dense.T if directed else dense
+    prod = sq * mask.astype(jnp.float32)  # exact integers ≤ n < 2³¹
+    wrapped = jnp.sum(prod.astype(jnp.int32))  # exact mod 2³²
+    approx = jnp.sum(prod)
+    total = combine_wrapped(
+        int(np.asarray(jax.device_get(wrapped))),
+        float(np.asarray(jax.device_get(approx))),
+    )
+    return total // (3 if directed else 6)
 
 
 class TriangleCount(Feature):

@@ -1052,8 +1052,9 @@ def slashburn_reorder(
     All structural passes are distributed with boundary-proportional
     communication: active degrees (halo exchange + segment sum), hub
     selection (psum'd degree-histogram counting rank, comm O(D·buckets) —
-    no replicated sort; ``bucket_cap`` caps the histogram, degrees above
-    it share the top bucket with id tie-breaks), connected components
+    no replicated sort; the histogram is sized each round from the
+    actual max active degree so no degree ever clips, ``bucket_cap``
+    only sets the minimum size), connected components
     (:func:`connected_components` min-label hooking), and ``hub_order``'s
     discovering-hub index (one neighbor-min exchange). Host code only
     does the O(n) position bookkeeping between rounds, like
@@ -1062,17 +1063,16 @@ def slashburn_reorder(
     Requires a symmetric adjacency (the host reorderer symmetrizes
     first; shard a symmetrized CSR). Matches the host
     ``SlashburnReorder(greedy=False)`` order exactly on such graphs
-    (tests/test_ring.py companion: tests/test_parallel_slashburn.py).
+    (tests/test_ring.py companion: tests/test_slashburn_dist.py).
     """
     from ..ops.reorder.slashburn import _place_spokes
 
     _require_halo(sh)
     axis, n, d, rows, width, halo_s = _statics(sh)
     k = max(int(k_size), 1)
-    nb = int(bucket_cap)
+    nb_min = max(int(bucket_cap), 4)
 
     deg_run = _active_degree_runner(mesh, axis, n, d, rows, width, halo_s)
-    rank_run = _counting_rank_runner(mesh, axis, n, d, rows, nb)
     nbrmin_run = _nbr_min_runner(mesh, axis, n, d, rows, width, halo_s)
 
     order = np.full(n, -1, np.int64)
@@ -1102,15 +1102,21 @@ def slashburn_reorder(
             break
         alive_p = jnp.asarray(_pad_vec(active, d, rows, n, fill=False))
         deg = deg_run(sh.indptr, sh.nnz_local, sh.halo_send, sh.halo_map, alive_p)
+        # size the histogram from the round's actual max active degree
+        # (one scalar reduce) so degrees never clip — clipping would rank
+        # top-bucket ties by id instead of degree, silently diverging
+        # from the host order exactly on the hub-heavy graphs SlashBurn
+        # targets. Power-of-two rounding bounds recompiles to O(log n).
+        dmax = int(np.asarray(jax.device_get(jnp.max(deg))))
+        nb = max(nb_min, 1 << (dmax + 2 - 1).bit_length())
+        rank_run = _counting_rank_runner(mesh, axis, n, d, rows, nb)
         # descending-degree bucket key, ascending-id tie-break via the
         # stable counting rank; bucket nb-1 is reserved for inactive rows
-        key = (nb - 2) - jnp.clip(deg, 0, nb - 2)
-        key = jnp.where(alive_p, key, nb - 1).astype(jnp.int32)
+        key = jnp.where(alive_p, dmax - deg, nb - 1).astype(jnp.int32)
         ranks = np.asarray(
             jax.device_get(rank_run(key, alive_p))
         ).reshape(-1)[:n]
         hubs_mask = active & (ranks < k)
-        hub_rank = np.where(hubs_mask, ranks, _BIG).astype(np.int64)
         order[hubs_mask] = front + ranks[hubs_mask]
         front += k
         active = active & ~hubs_mask

@@ -19,8 +19,12 @@ collective family used by the package: ``psum`` / ``all_gather`` /
 (here).
 
 Counts are exact: 0/1 values are exact in bf16, products accumulate in
-f32 (``preferred_element_type``), and every per-entry count is ≤ n <
-2²⁴. Duplicate CSR entries are counted once (set semantics, the CSR
+f32 (``preferred_element_type``) where every per-entry count is ≤ n <
+2²⁴, and the *global* triangle total — which can exceed f32's 2²⁴
+integer range — is reconstructed exactly from a wrapped-int32 psum plus
+an approximate f32 psum (``utils.exact.combine_wrapped``; valid to
+~10¹³ triangles). Duplicate CSR entries are counted once (set
+semantics, the CSR
 invariant); the host paths treat lists as multisets, so feed
 deduplicated structures when comparing. Memory is the method's limit — each device holds O(rows·n) dense
 tiles — so these kernels target the bench/feature scale (n up to a few
@@ -40,6 +44,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from jax import shard_map
 
+from ..utils.exact import combine_wrapped
 from .dist import _local_row_of, _statics
 from .sharded import ShardedCSR
 
@@ -102,14 +107,19 @@ def _triangle_runner(mesh, axis, n, d, rows, width, directed):
         _, sq, at = jax.lax.fori_loop(0, d, step, init)
         if directed:
             # directed 3-cycles u→v→w→u, each once: Σ A²[v,u]·A[u,v] / 3
-            tri = jnp.sum(sq * at.astype(jnp.float32)) / 3.0
+            prod = sq * at.astype(jnp.float32)
         else:
             # symmetric A: Σ A²[u,v]·A[u,v] counts each triangle 6×
-            tri = jnp.sum(sq * dense.astype(jnp.float32)) / 6.0
-        return jax.lax.psum(tri, axis)
+            prod = sq * dense.astype(jnp.float32)
+        # prod entries are exact f32 integers ≤ n; recover the exact
+        # global total from (wrapped int32 psum, approximate f32 psum)
+        # — see utils.exact (a bare f32 reduction drifts past 2²⁴).
+        wrapped = jax.lax.psum(jnp.sum(prod.astype(jnp.int32)), axis)
+        approx = jax.lax.psum(jnp.sum(prod), axis)
+        return wrapped, approx
 
     fn = shard_map(
-        body, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)), out_specs=P()
+        body, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)), out_specs=(P(), P())
     )
     return jax.jit(fn)
 
@@ -126,7 +136,12 @@ def triangle_count(sh: ShardedCSR, mesh: Mesh, directed: bool = False) -> int:
             "tiles per device; matrix too large for the dense ring path"
         )
     f = _triangle_runner(mesh, axis, n, d, rows, width, bool(directed))
-    return int(round(float(f(sh.indptr, sh.indices, sh.nnz_local))))
+    wrapped, approx = f(sh.indptr, sh.indices, sh.nnz_local)
+    total = combine_wrapped(
+        int(np.asarray(jax.device_get(wrapped))),
+        float(np.asarray(jax.device_get(approx))),
+    )
+    return total // (3 if directed else 6)
 
 
 @functools.lru_cache(maxsize=None)

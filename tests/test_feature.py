@@ -164,6 +164,18 @@ class TestTriangleCount:
         expect = int(np.trace(dense @ dense @ dense) // 6)
         assert TriangleCount().get_triangle_count(g) == expect
 
+    def test_device_exact_past_f32_range(self):
+        # K_512: 6T = 133,432,320 > 2**24 — a bare f32 reduction drifts;
+        # the wrapped-int32 + f32 reconstruction must stay exact
+        # (ADVICE r2 high: ops/feature/triangles.py device path).
+        n = 512
+        dense = 1 - np.eye(n, dtype=np.int32)
+        r, c = np.nonzero(dense)
+        g = COO.new(r.astype(np.int32), c.astype(np.int32), None,
+                    shape=(n, n)).convert(CSR)
+        expect = n * (n - 1) * (n - 2) // 6  # C(512,3) = 22,238,720
+        assert TriangleCount().get_triangle_count(g.to_device()) == expect
+
     def test_device_mxu_path(self, rng):
         # device CSR takes the dense MXU formulation; must agree with host
         n = 40

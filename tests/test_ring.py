@@ -57,6 +57,21 @@ class TestRingTriangles:
         got = ring.triangle_count(sh, mesh, directed=True)
         assert got == _directed_count(csr)
 
+    def test_exact_past_f32_range(self, mesh):
+        # K_512: 6T = 133,432,320 > 2**24 — exactness must survive the
+        # psum'd global reduction (ADVICE r2 high: ring.py counterpart).
+        n = 512
+        dense = 1 - np.eye(n, dtype=np.int32)
+        r, c = np.nonzero(dense)
+        counts = np.bincount(r, minlength=n)
+        csr = CSR(
+            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32),
+            c.astype(np.int32), None, (n, n),
+        )
+        sh = ShardedCSR.from_csr(csr, mesh, halo=False)
+        expect = n * (n - 1) * (n - 2) // 6
+        assert ring.triangle_count(sh, mesh, directed=False) == expect
+
     def test_feature_parity_small_fixture(self, mesh):
         # 5-cycle plus one chord: exactly 1 triangle
         edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 2)]

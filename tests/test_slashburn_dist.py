@@ -95,6 +95,42 @@ class TestDistributedSlashburn:
         np.testing.assert_array_equal(got, want)
 
 
+class TestHubDegreesPastBucketCap:
+    """Degrees above the histogram floor must not clip (ADVICE r2 medium):
+    the histogram is re-sized per round from the actual max active degree,
+    so a tiny ``bucket_cap`` still yields the exact host order on graphs
+    whose hub degrees dwarf it."""
+
+    def test_star_hubs_exact(self, mesh):
+        # two stars of very different degree + a sparse random background:
+        # hub degrees (40, 25) >> bucket_cap-2 = 6 would share one bucket
+        # and rank by id under the old clipping.
+        rng = np.random.default_rng(9)
+        n = 64
+        hub_edges = [(0, v) for v in range(20, 60)]  # deg(0) = 40
+        hub_edges += [(1, v) for v in range(30, 55)]  # deg(1) = 25
+        r = np.array([u for u, v in hub_edges], np.int64)
+        c = np.array([v for u, v in hub_edges], np.int64)
+        br = rng.integers(2, n, 40).astype(np.int64)
+        bc = rng.integers(2, n, 40).astype(np.int64)
+        keep = br != bc
+        r = np.concatenate([r, br[keep]])
+        c = np.concatenate([c, bc[keep]])
+        r, c = np.concatenate([r, c]), np.concatenate([c, r])
+        keys = np.unique(r * n + c)
+        row = (keys // n).astype(np.int32)
+        col = (keys % n).astype(np.int32)
+        counts = np.bincount(row, minlength=n)
+        csr = CSR(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32),
+                  col, None, (n, n))
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        got = np.asarray(
+            halo.slashburn_reorder(sh, mesh, k_size=4, bucket_cap=8)
+        )
+        want = _slashburn_host(csr, SlashburnReorderParams(k_size=4, greedy=False))
+        np.testing.assert_array_equal(got, want)
+
+
 class TestTinyGraphs:
     """n < n_devices: shards with zero in-range rows must be harmless."""
 
