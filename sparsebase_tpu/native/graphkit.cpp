@@ -1084,15 +1084,31 @@ void region_grow(const WGraph& g, int64_t k, Rng& rng, double cap,
     }
 }
 
-// boundary FM-style refinement: greedy positive-gain moves with balance
+// boundary FM-style refinement. Positive-gain moves always; zero-gain
+// moves accepted toward a smaller part (boundary straightening) or with
+// a coin flip (plateau escape) — positive-only refinement stalls on the
+// jagged diagonal boundaries zero-gain sweeps iron out (measured 2-3x
+// cuts on grids). The best labeling seen is kept, so the hill-climbing
+// sweeps can only help.
+double cut_of(const WGraph& gg, const vector<int64_t>& lab) {
+  double c = 0.0;
+  for (int64_t u = 0; u < gg.n(); ++u)
+    for (int64_t e = gg.ip[u]; e < gg.ip[u + 1]; ++e)
+      if (lab[u] != lab[gg.ix[e]]) c += gg.ew[e];
+  return c;
+}
+
 void refine(const WGraph& g, int64_t k, double cap, vector<int64_t>& labels,
-            int rounds) {
+            int rounds, Rng& rng) {
   int64_t n = g.n();
   vector<double> sizes(k, 0.0);
   for (int64_t v = 0; v < n; ++v) sizes[labels[v]] += g.vw[v];
   vector<double> aff(k, 0.0);
   vector<int64_t> touched;
-  for (int r = 0; r < rounds; ++r) {
+  vector<int64_t> best_lab = labels;
+  double best_cut = cut_of(g, labels);
+  int sweeps = rounds * 3;
+  for (int r = 0; r < sweeps; ++r) {
     int64_t moved = 0;
     bool fwd = (r % 2 == 0);  // alternate sweep direction between rounds
     for (int64_t s = 0; s < n; ++s) {
@@ -1109,17 +1125,21 @@ void refine(const WGraph& g, int64_t k, double cap, vector<int64_t>& labels,
         int64_t cur = labels[v];
         double cur_aff = aff[cur];
         int64_t best = -1;
-        double best_gain = 0.0;
+        double best_gain = -1.0;
         for (int64_t lp : touched) {
           if (lp == cur) continue;
           if (sizes[lp] + g.vw[v] > cap) continue;
           double gain = aff[lp] - cur_aff;
-          if (gain > best_gain) {
+          if (gain > best_gain ||
+              (gain == best_gain && best >= 0 && sizes[lp] < sizes[best])) {
             best_gain = gain;
             best = lp;
           }
         }
-        if (best >= 0) {
+        bool zero_ok =
+            best >= 0 && best_gain == 0.0 &&
+            (sizes[best] + g.vw[v] < sizes[cur] || (rng.next() % 10) < 3);
+        if (best >= 0 && (best_gain > 0.0 || zero_ok)) {
           sizes[cur] -= g.vw[v];
           sizes[best] += g.vw[v];
           labels[v] = best;
@@ -1128,22 +1148,23 @@ void refine(const WGraph& g, int64_t k, double cap, vector<int64_t>& labels,
       }
       for (int64_t lp : touched) aff[lp] = 0.0;
     }
+    double c = cut_of(g, labels);
+    if (c < best_cut) {
+      best_cut = c;
+      best_lab = labels;
+    }
     if (moved == 0) break;
   }
+  labels = best_lab;
 }
 
-// full multilevel k-way on a prebuilt symmetric WGraph
-void kway_core(WGraph g, int64_t k, Rng& rng, int64_t ufactor, int64_t niter,
-               vector<int64_t>& labels) {
-  int64_t n = g.n();
-  double total_w = 0.0;
-  for (double w : g.vw) total_w += w;
-  double cap = (1.0 + (double)ufactor / 1000.0) * total_w / (double)k;
-  int64_t coarsest = std::max<int64_t>(20 * k, 128);
-
+// one multilevel ladder at a given coarsening depth
+void ladder_run(const WGraph& g, int64_t k, Rng& rng, double cap,
+                double total_w, int64_t niter, int64_t coarsest,
+                vector<int64_t>& labels) {
   vector<WGraph> levels;
   vector<vector<int64_t>> cmaps;
-  levels.push_back(std::move(g));
+  levels.push_back(g);
   while (levels.back().n() > coarsest) {
     const WGraph& top = levels.back();
     vector<int64_t> cmap;
@@ -1156,18 +1177,11 @@ void kway_core(WGraph g, int64_t k, Rng& rng, int64_t ufactor, int64_t niter,
   }
   // multi-restart initial partitioning on the coarsest graph (the METIS
   // ncuts analogue): grow+refine several times, keep the smallest cut
-  auto cut_of = [](const WGraph& gg, const vector<int64_t>& lab) {
-    double c = 0.0;
-    for (int64_t u = 0; u < gg.n(); ++u)
-      for (int64_t e = gg.ip[u]; e < gg.ip[u + 1]; ++e)
-        if (lab[u] != lab[gg.ix[e]]) c += gg.ew[e];
-    return c;
-  };
   vector<int64_t> trial;
   double best_cut = -1.0;
-  for (int t = 0; t < 4; ++t) {
+  for (int t = 0; t < 6; ++t) {
     region_grow(levels.back(), k, rng, cap, trial);
-    refine(levels.back(), k, cap, trial, (int)std::max<int64_t>(niter, 2));
+    refine(levels.back(), k, cap, trial, (int)std::max<int64_t>(niter, 2), rng);
     double c = cut_of(levels.back(), trial);
     if (best_cut < 0 || c < best_cut) {
       best_cut = c;
@@ -1179,9 +1193,32 @@ void kway_core(WGraph g, int64_t k, Rng& rng, int64_t ufactor, int64_t niter,
     vector<int64_t> fine(cmap.size());
     for (size_t v = 0; v < cmap.size(); ++v) fine[v] = labels[cmap[v]];
     labels = std::move(fine);
-    refine(levels[lvl], k, cap, labels, (int)std::max<int64_t>(niter, 4));
+    refine(levels[lvl], k, cap, labels, (int)std::max<int64_t>(niter, 4), rng);
   }
-  (void)n;
+}
+
+// full multilevel k-way on a prebuilt symmetric WGraph. Two ladders at
+// different coarsening depths (shallow wins at small k where geometry
+// survives; deep wins at large k where the initial partition needs a
+// tiny coarsest graph — measured on grid/torus anchors), best cut kept.
+void kway_core(WGraph g, int64_t k, Rng& rng, int64_t ufactor, int64_t niter,
+               vector<int64_t>& labels) {
+  double total_w = 0.0;
+  for (double w : g.vw) total_w += w;
+  double cap = (1.0 + (double)ufactor / 1000.0) * total_w / (double)k;
+  const int64_t depths[2] = {std::max<int64_t>(20 * k, 128),
+                             std::max<int64_t>(4 * k, 48)};
+  double best_cut = -1.0;
+  for (int64_t coarsest : depths) {
+    vector<int64_t> trial;
+    ladder_run(g, k, rng, cap, total_w, niter, coarsest, trial);
+    double c = cut_of(g, trial);
+    if (best_cut < 0 || c < best_cut) {
+      best_cut = c;
+      labels = trial;
+    }
+    if (depths[0] == depths[1]) break;
+  }
 }
 
 }  // namespace
@@ -1333,7 +1370,8 @@ int64_t sbtpu_pulp(int64_t n, const int64_t* indptr, const int64_t* indices,
 
   // final boundary refinement on the symmetrized graph
   WGraph g = build_sym(n, indptr, indices, nullptr);
-  refine(g, k, cap, labels, 4);
+  Rng rrng(0x9e3779b97f4a7c15ULL);
+  refine(g, k, cap, labels, 4, rrng);
   std::memcpy(out_labels, labels.data(), n * sizeof(int64_t));
   return 0;
 }

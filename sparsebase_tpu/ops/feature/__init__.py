@@ -1,6 +1,9 @@
 """Feature extraction (reference: src/sparsebase/feature/, SURVEY.md §2.7).
 
-All 19 reference features + the fused-extraction framework.
+All 19 reference features + the fused-extraction framework, plus
+:class:`FillIn` (symbolic-factorization nnz(L) — the fill metric AMD is
+judged on; no reference counterpart since the reference delegates to
+SuiteSparse AMD, amd_reorder.cc:29-57).
 ``FeatureExtractor()`` comes pre-registered with every feature class
 (feature/feature_extractor.cc:12-28 analogue — extended to the full set).
 """
@@ -17,6 +20,7 @@ from .column_stats import (
 )
 from .degree_stats import AvgDegree, MaxDegree, MinDegree, MinMaxAvgDegree
 from .degrees import Degrees, DegreeDistribution, DegreesDegreeDistribution
+from .fill import FillIn
 from .jaccard import JaccardWeights
 from .structure import Bandwidth, OffDiagBlockNNZ, Profile
 from .triangles import TriangleCount
@@ -41,7 +45,11 @@ ALL_FEATURES = (
     OffDiagBlockNNZ,
     TriangleCount,
     JaccardWeights,
+    FillIn,
 )
+
+# reference parity set (§2.7): exactly the 19 reference features
+REFERENCE_FEATURES = ALL_FEATURES[:-1]
 
 
 class FeatureExtractor(Extractor):
@@ -78,4 +86,6 @@ __all__ = [
     "OffDiagBlockNNZ",
     "TriangleCount",
     "JaccardWeights",
+    "FillIn",
+    "REFERENCE_FEATURES",
 ]

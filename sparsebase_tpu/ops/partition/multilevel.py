@@ -194,12 +194,21 @@ def _region_grow(indptr, indices, ewts, vwts, k, rng, cap):
     return labels
 
 
-def _refine(indptr, indices, ewts, vwts, labels, k, cap, rounds=8):
-    """Weighted boundary label propagation with capacity + positive-gain
-    moves (FM-flavoured, vectorized)."""
+def _refine(indptr, indices, ewts, vwts, labels, k, cap, rounds=8, rng=None):
+    """Weighted boundary refinement (FM-flavoured, vectorized): positive
+    gains always; zero-gain moves toward a smaller part or by coin flip
+    (boundary straightening / plateau escape — positive-only refinement
+    measurably stalls at 2-3x cuts on grids); best labeling kept."""
     n = len(indptr) - 1
+    rng = rng or np.random.default_rng(0x9E3779B9)
     row = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-    for _ in range(rounds):
+
+    def cut(lab):
+        return float(ewts[lab[row] != lab[indices]].sum())
+
+    best_lab = labels.copy()
+    best_cut = cut(labels)
+    for _ in range(rounds * 3):
         aff = np.zeros((n, k), np.float64)
         np.add.at(aff, (row, labels[indices]), ewts)
         sizes = np.zeros(k, np.float64)
@@ -212,7 +221,10 @@ def _refine(indptr, indices, ewts, vwts, labels, k, cap, rounds=8):
         aff_masked[np.arange(n), labels] = -np.inf
         best = np.argmax(aff_masked, axis=1)
         gain = aff_masked[np.arange(n), best] - cur
-        movers = np.nonzero(gain > 0)[0]
+        zero_ok = (gain == 0) & (
+            (sizes[best] + vwts < sizes[labels]) | (rng.random(n) < 0.3)
+        )
+        movers = np.nonzero((gain > 0) | zero_ok)[0]
         if movers.size == 0:
             break
         # accept in gain order, updating sizes (sequential but only movers)
@@ -224,9 +236,13 @@ def _refine(indptr, indices, ewts, vwts, labels, k, cap, rounds=8):
                 sizes[tgt] += vwts[v]
                 labels[v] = tgt
                 moved += 1
+        c = cut(labels)
+        if c < best_cut:
+            best_cut = c
+            best_lab = labels.copy()
         if moved == 0:
             break
-    return labels
+    return best_lab
 
 
 def multilevel_partition(csr: CSR, params: MetisPartitionParams) -> np.ndarray:
@@ -266,31 +282,49 @@ def multilevel_partition(csr: CSR, params: MetisPartitionParams) -> np.ndarray:
     rng = np.random.default_rng(params.seed)
     total_w = float(vwts.sum())
     cap = (1.0 + params.ufactor / 1000.0) * total_w / k
-    coarsest = max(20 * k, 128)
 
-    graphs = [(indptr, indices, ewts, vwts)]
-    cmaps = []
-    while len(graphs[-1][0]) - 1 > coarsest:
+    def ladder(coarsest):
+        graphs = [(indptr, indices, ewts, vwts)]
+        cmaps = []
+        while len(graphs[-1][0]) - 1 > coarsest:
+            ip, ix, ew, vw = graphs[-1]
+            nv = len(ip) - 1
+            match = _heavy_edge_matching(
+                ip, ix, ew, vw, rng, max_vwt=4.0 * total_w / max(nv, 1)
+            )
+            nip, nix, new, nvw, cmap = _contract(ip, ix, ew, vw, match)
+            if len(nip) - 1 >= nv * 0.95:
+                break
+            graphs.append((nip, nix, new, nvw))
+            cmaps.append(cmap)
+
         ip, ix, ew, vw = graphs[-1]
-        nv = len(ip) - 1
-        match = _heavy_edge_matching(ip, ix, ew, vw, rng, max_vwt=4.0 * total_w / max(nv, 1))
-        nip, nix, new, nvw, cmap = _contract(ip, ix, ew, vw, match)
-        if len(nip) - 1 >= nv * 0.95:
-            break
-        graphs.append((nip, nix, new, nvw))
-        cmaps.append(cmap)
+        if params.ptype == "rb" and k > 2:
+            labels = _recursive_bisection(ip, ix, ew, vw, k, rng, params.ufactor)
+        else:
+            labels = _region_grow(ip, ix, ew, vw, k, rng, cap)
+        labels = _refine(ip, ix, ew, vw, labels, k, cap, rounds=params.niter)
+        for level in range(len(cmaps) - 1, -1, -1):
+            labels = labels[cmaps[level]]
+            ip, ix, ew, vw = graphs[level]
+            labels = _refine(ip, ix, ew, vw, labels, k, cap,
+                             rounds=max(params.niter // 2, 2))
+        return labels
 
-    ip, ix, ew, vw = graphs[-1]
-    if params.ptype == "rb" and k > 2:
-        labels = _recursive_bisection(ip, ix, ew, vw, k, rng, params.ufactor)
-    else:
-        labels = _region_grow(ip, ix, ew, vw, k, rng, cap)
-    labels = _refine(ip, ix, ew, vw, labels, k, cap, rounds=params.niter)
-    for level in range(len(cmaps) - 1, -1, -1):
-        labels = labels[cmaps[level]]
-        ip, ix, ew, vw = graphs[level]
-        labels = _refine(ip, ix, ew, vw, labels, k, cap, rounds=max(params.niter // 2, 2))
-    return labels.astype(np.int32)
+    def cut_of(lab):
+        row = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        return float(ewts[lab[row] != lab[indices]].sum())
+
+    # two ladder depths (shallow preserves geometry at small k; deep gives
+    # the initial partition a tiny coarsest graph at large k), best cut
+    # kept — same scheme as the native kway_core.
+    best_lab, best_cut = None, None
+    for coarsest in {max(20 * k, 128), max(4 * k, 48)}:
+        lab = ladder(coarsest)
+        c = cut_of(lab)
+        if best_cut is None or c < best_cut:
+            best_lab, best_cut = lab, c
+    return best_lab.astype(np.int32)
 
 
 def _recursive_bisection(ip, ix, ew, vw, k, rng, ufactor):

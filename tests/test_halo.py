@@ -47,6 +47,46 @@ def path_csr(n):
     return coo_to_csr(COO.new(row, col, None, shape=(n, n)))
 
 
+class TestDeviceHaloBuilder:
+    """with_halo() now builds halo metadata on the mesh (sort + run-head
+    dedup + one all_to_all of request lists, VERDICT r2 item 2); the host
+    d²/np.unique pass (_build_halo) is the oracle."""
+
+    @pytest.mark.parametrize("seed,n,deg", [(0, 64, 5), (1, 40, 3), (2, 96, 7),
+                                            (3, 17, 2), (4, 8, 1)])
+    def test_matches_host_builder(self, mesh, seed, n, deg):
+        from sparsebase_tpu.parallel.sharded import _build_halo
+
+        rng = np.random.default_rng(seed)
+        csr = random_csr(rng, n=n, avg_deg=deg)
+        base = ShardedCSR.from_csr(csr, mesh, halo=False)
+        dev = base.with_halo()
+        li = np.asarray(jax.device_get(base.indices))
+        nl = np.asarray(jax.device_get(base.nnz_local)).astype(np.int64)
+        hs, hc, hm = _build_halo(li, nl, base.rows_per_shard, base.n_shards)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(dev.halo_counts)), hc
+        )
+        got_hs = np.asarray(jax.device_get(dev.halo_send))
+        got_hm = np.asarray(jax.device_get(dev.halo_map))
+        assert got_hs.shape == hs.shape  # same padded S (max pair count)
+        np.testing.assert_array_equal(got_hs, hs)
+        np.testing.assert_array_equal(got_hm, hm)
+
+    def test_ingest_then_halo_kernels(self, mesh, rng):
+        # end-to-end: distributed ingest -> device halo build -> halo SpMV
+        csr = random_csr(rng, n=72, avg_deg=4)
+        coo = csr.convert(COO)
+        sh = ShardedCSR.from_coo_sharded(
+            jnp.asarray(np.asarray(coo.row)), jnp.asarray(np.asarray(coo.col)),
+            jnp.asarray(np.asarray(coo.vals)), csr.shape, mesh,
+        ).with_halo()
+        x = rng.standard_normal(csr.ncols).astype(np.float32)
+        y = np.asarray(halo.spmv(sh, jnp.asarray(x), mesh))
+        ref = np.asarray(csr.to_dense()) @ x
+        np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
 class TestHaloSpmv:
     def test_matches_dense_path_and_host(self, mesh, rng):
         csr = random_csr(rng)
