@@ -148,6 +148,41 @@ class ShardedCSR(Format):
             None if hm is None else put(hm),
         )
 
+    @staticmethod
+    def from_csr_balanced(
+        csr: CSR, mesh: Mesh, axis: str = "x", halo: bool = True
+    ):
+        """Partition with **nnz-balanced** row blocks (VERDICT r2 item 3 /
+        SURVEY §7 hard part 5): rows are first relabeled by a serpentine
+        degree deal — sort rows by degree descending, deal them
+        boustrophedon over the d blocks — so every equal-row block
+        carries near-equal nnz (LPT-style bound: max block ≤ mean +
+        O(max_deg)) and the padded width no longer follows the worst
+        shard on row-skewed graphs.
+
+        Design note: the balancing is a *layout permutation* (this
+        library's own first-class abstraction) rather than variable
+        block boundaries — a symmetric relabel composes with every
+        sharded kernel unchanged, while data-dependent boundaries would
+        bifurcate the address math (owner = row // rows) in every halo /
+        ring / 2-D kernel and the conversion graph.
+
+        Returns ``(sharded, order)`` where ``order[old] = new`` is the
+        applied relabeling (also the map back: a result ``r`` about new
+        vertex ids reads ``r[order]`` in old ids)."""
+        from ..bases import ReorderBase
+
+        csr = csr.to_host()
+        order = balanced_row_order(csr, mesh.shape[axis])
+        permuted = ReorderBase.permute2d(order, csr)
+        return ShardedCSR.from_csr(permuted, mesh, axis=axis, halo=halo), order
+
+    def padded_width_ratio(self) -> float:
+        """Padded memory overhead: d·width / true nnz (1.0 = perfectly
+        nnz-balanced row blocks)."""
+        total = max(self.nnz, 1)
+        return self.n_shards * int(self.indices.shape[1]) / total
+
     def with_halo(self) -> "ShardedCSR":
         """Compute halo metadata for an existing ShardedCSR.
 
@@ -345,6 +380,38 @@ class ShardedCSR(Format):
             f"rows/shard={self.rows_per_shard}, width={self.indices.shape[1]}, "
             f"halo={'S=%d' % self.halo_width if self.has_halo else 'none'})"
         )
+
+
+def balanced_row_order(csr: CSR, d: int) -> np.ndarray:
+    """Serpentine degree deal: inverse permutation ``order[old] = new``
+    under which contiguous equal-row blocks of ``ceil(n/d)`` rows carry
+    near-equal nnz. Rows sorted by degree descending are dealt
+    boustrophedon (0..d-1, d-1..0, ...) so heavy rows spread evenly and
+    each block receives the same row count; within a block, dealt order
+    is kept (heaviest first)."""
+    csr = csr.to_host()
+    n = csr.nrows
+    deg = np.diff(np.asarray(csr.indptr)).astype(np.int64)
+    by_deg = np.argsort(-deg, kind="stable")  # heavy first
+    rows = -(-n // d)
+    blocks = np.empty(n, np.int64)
+    slots = np.empty(n, np.int64)
+    idx = np.arange(n)
+    round_i = idx // d
+    pos = idx % d
+    fwd = (round_i % 2) == 0
+    blocks = np.where(fwd, pos, d - 1 - pos)
+    slots = round_i
+    # rows beyond the last full round would overflow block capacity only
+    # if n % d != 0 rounds land unevenly — slots < rows always holds
+    # since each block receives at most ceil(n/d) rows by construction.
+    order = np.empty(n, np.int64)
+    order[by_deg] = blocks * rows + slots
+    # compact: the serpentine can leave the last block short; positions
+    # must be a permutation of 0..n-1
+    rank = np.empty(n, np.int64)
+    rank[np.argsort(order, kind="stable")] = np.arange(n)
+    return rank.astype(np.int64)
 
 
 @functools.lru_cache(maxsize=None)

@@ -260,3 +260,55 @@ class TestMultihost:
         assert mesh.size == len(jax.devices())
         start, count = multihost.local_entry_counts(1000)
         assert (start, count) == (0, 1000)
+
+
+class TestBalancedSharding:
+    """nnz-balanced row blocks via the serpentine degree deal (VERDICT r2
+    item 3): on row-skewed graphs the padded width must stop following
+    the worst shard; the balancing is a layout permutation, so every
+    sharded kernel runs unchanged on the balanced container."""
+
+    def _zipf_csr(self, n=20000, nz=200000, seed=1):
+        from sparsebase_tpu.convert import coo_to_csr
+
+        rng = np.random.default_rng(seed)
+        zr = rng.zipf(1.3, nz) - 1
+        zr = zr[zr < n].astype(np.int64)
+        zc = rng.integers(0, n, len(zr)).astype(np.int64)
+        keys = np.unique(zr * n + zc)
+        return coo_to_csr(COO.new(
+            (keys // n).astype(np.int32), (keys % n).astype(np.int32), None,
+            shape=(n, n)))
+
+    def test_order_valid_and_balanced(self, mesh):
+        from sparsebase_tpu.parallel.sharded import balanced_row_order
+
+        csr = self._zipf_csr()
+        order = balanced_row_order(csr, 8)
+        assert sorted(order.tolist()) == list(range(csr.nrows))
+        sh0 = ShardedCSR.from_csr(csr, mesh, halo=False)
+        sh1, order2 = ShardedCSR.from_csr_balanced(csr, mesh, halo=False)
+        np.testing.assert_array_equal(order, order2)
+        assert sh0.padded_width_ratio() > 2.5  # skew really present
+        assert sh1.padded_width_ratio() <= 2.0  # the item-3 criterion
+        assert sh1.nnz == csr.nnz
+
+    def test_halo_kernels_green_on_balanced(self, mesh, rng):
+        import scipy.sparse as sp
+
+        from sparsebase_tpu.parallel import dist, halo
+
+        csr = self._zipf_csr(n=4000, nz=40000, seed=3)
+        sh, order = ShardedCSR.from_csr_balanced(csr, mesh, halo=True)
+        n = csr.nrows
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(halo.spmv(sh, jnp.asarray(x), mesh))
+        pc = sh.to_csr()
+        m = sp.csr_matrix(
+            (np.ones(pc.nnz, np.float32), np.asarray(pc.indices),
+             np.asarray(pc.indptr)), shape=(n, n))
+        np.testing.assert_allclose(y, m @ x, rtol=1e-3, atol=1e-3)
+        # degrees of the permuted container map back through the order
+        deg_new = np.asarray(dist.degrees(sh, mesh))
+        deg_old = np.diff(np.asarray(csr.indptr))
+        np.testing.assert_array_equal(deg_new[order], deg_old)
