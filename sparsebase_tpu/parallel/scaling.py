@@ -215,6 +215,12 @@ def main():
 
     import jax
 
+    # the harness targets the virtual CPU mesh: this image's sitecustomize
+    # pre-registers the axon TPU backend and ignores JAX_PLATFORMS, so
+    # force the platform here (one stray TPU client can wedge the chip
+    # for the real benchmarks — CLAUDE.md sharp edges)
+    jax.config.update("jax_platforms", "cpu")
+
     out = {
         "caveat": (
             "virtual CPU mesh: all simulated devices share this host's "
