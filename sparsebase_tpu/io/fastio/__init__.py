@@ -99,14 +99,28 @@ def count_entries(path: str, offset: int) -> int:
 
 
 def parse_entries(
-    path: str, offset: int, weighted: bool
+    path: str, offset: int, weighted: bool, out=None
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
-    """Parse `u v [w]` lines after byte `offset`; returns (rows, cols, vals)."""
+    """Parse `u v [w]` lines after byte `offset`; returns (rows, cols, vals).
+
+    ``out=(rows, cols, vals)`` reuses caller-provided int64/int64/float64
+    buffers (sliced to the parsed count). On this image first-touch page
+    faults cost ~60 µs/4K page (Firecracker lazy memory provisioning —
+    measured, BENCH_local.md round 3), so reusing warm buffers across
+    parses is a 10-20× end-to-end win at the 50M-nnz scale; the parse
+    kernel itself runs at ~44M nnz/s on the 2 cores."""
     lib = _load()
     n = count_entries(path, offset)
-    rows = np.empty(n, np.int64)
-    cols = np.empty(n, np.int64)
-    vals = np.empty(n, np.float64) if weighted else None
+    if out is not None:
+        rows, cols, vals = out[0][:n], out[1][:n], (
+            out[2][:n] if weighted else None
+        )
+        if len(rows) < n or len(cols) < n or (weighted and len(vals) < n):
+            raise ValueError(f"fastio: out buffers smaller than {n} entries")
+    else:
+        rows = np.empty(n, np.int64)
+        cols = np.empty(n, np.int64)
+        vals = np.empty(n, np.float64) if weighted else None
     got = lib.sbtpu_parse_entries(
         path.encode(),
         offset,

@@ -76,7 +76,27 @@ def main():
     bench(MTXReader, small, 5_000_000, reps=1,
           label="python MTXReader 5M nnz (naive baseline)")
     bench(PigoMTXReader, big, nnz, reps=2,
-          label=f"fastio parse {nnz_m:.0f}M nnz")
+          label=f"fastio parse {nnz_m:.0f}M nnz (end-to-end)")
+
+    # raw parse kernel with reused (warm) buffers: isolates the parser
+    # from this VM's ~60 µs/4K-page first-touch faults and the
+    # downstream COO sort
+    import ctypes
+
+    from sparsebase_tpu.io import fastio
+    from sparsebase_tpu.io.pigo import _body_offset
+
+    off, _ = _body_offset(str(big))
+    n = fastio.count_entries(str(big), off)
+    buffers = (np.zeros(n, np.int64), np.zeros(n, np.int64), None)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows, cols, _v = fastio.parse_entries(str(big), off, False, out=buffers)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{'fastio RAW parse, warm buffers':42s} {best:8.2f} s   "
+          f"{n/best/1e6:8.1f} M nnz/s")
 
 
 if __name__ == "__main__":
