@@ -146,7 +146,16 @@ def sort_by_pairs(xp, major, minor, *payload):
     """
     live = [p for p in payload if p is not None]
     if xp is np:
-        order = np.lexsort((minor, major))
+        order = None
+        if len(major) >= 1 << 16:  # native parallel sort pays off
+            try:
+                from ..io import fastio
+
+                order = fastio.argsort_pairs(np.asarray(major), np.asarray(minor))
+            except Exception:
+                order = None
+        if order is None:
+            order = np.lexsort((minor, major))
         outs = [major[order], minor[order]] + [p[order] for p in live]
     else:
         import jax

@@ -82,6 +82,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.sbtpu_argsort_pairs.restype = ctypes.c_int64
+        lib.sbtpu_argsort_pairs.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -133,6 +142,36 @@ def parse_entries(
     if got < 0:
         raise OSError(f"fastio: cannot read {path}")
     return rows[:got], cols[:got], (vals[:got] if weighted else None)
+
+
+def argsort_pairs(major: np.ndarray, minor: np.ndarray) -> Optional[np.ndarray]:
+    """Parallel stable argsort by (major, minor) — the host row-major COO
+    sort, multi-threaded (np.lexsort is single-threaded: ~35 s at 50M on
+    this box vs a few seconds here). Returns None when the native lib is
+    unavailable or dtypes are not int32/int64 (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if major.dtype not in (np.int32, np.int64) or minor.dtype not in (
+        np.int32,
+        np.int64,
+    ):
+        return None
+    major = np.ascontiguousarray(major)
+    minor = np.ascontiguousarray(minor)
+    n = len(major)
+    order = np.empty(n, np.int64)
+    got = lib.sbtpu_argsort_pairs(
+        n,
+        major.ctypes.data_as(ctypes.c_void_p),
+        minor.ctypes.data_as(ctypes.c_void_p),
+        1 if major.dtype == np.int64 else 0,
+        1 if minor.dtype == np.int64 else 0,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if got != n:
+        return None
+    return order
 
 
 def parse_values(path: str, offset: int) -> np.ndarray:

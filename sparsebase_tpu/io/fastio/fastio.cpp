@@ -26,6 +26,7 @@
 
 #ifdef _OPENMP
 #include <omp.h>
+#include <parallel/algorithm>
 #endif
 
 namespace {
@@ -291,6 +292,58 @@ int64_t sbtpu_write_file(const char* path, const char* data, int64_t size) {
   size_t written = fwrite(data, 1, static_cast<size_t>(size), f);
   fclose(f);
   return static_cast<int64_t>(written);
+}
+
+// Parallel argsort by (major, minor) — the host-side row-major COO sort
+// (PIGO's reading path ends in the same sort inside the reference's COO
+// ctor, format/coo.cc:112-140). np.lexsort is single-threaded and costs
+// ~35 s at 50M entries on this box; packing both keys into one uint64
+// and gnu-parallel-sorting (key, index) pairs runs the same sort in a
+// few seconds on the available cores. Sorting (key, idx) pairs makes
+// ties resolve by original position = exactly np.lexsort's stability.
+// width flags: 1 = int64 input, 0 = int32.
+int64_t sbtpu_argsort_pairs(int64_t n, const void* major, const void* minor,
+                            int major64, int minor64, int64_t* order) {
+  if (n <= 0) return 0;
+  auto get = [](const void* p, int is64, int64_t i) -> int64_t {
+    return is64 ? static_cast<const int64_t*>(p)[i]
+                : static_cast<int64_t>(static_cast<const int32_t*>(p)[i]);
+  };
+  // packable iff both keys fit in uint32 (nonnegative < 2^32)
+  bool packable = true;
+#pragma omp parallel for reduction(&& : packable) schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t a = get(major, major64, i);
+    int64_t b = get(minor, minor64, i);
+    packable = packable && a >= 0 && a < (int64_t(1) << 32) && b >= 0 &&
+               b < (int64_t(1) << 32);
+  }
+  using P = std::pair<uint64_t, int64_t>;
+  std::vector<P> buf(static_cast<size_t>(n));
+  if (packable) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i)
+      buf[i] = {(static_cast<uint64_t>(get(major, major64, i)) << 32) |
+                    static_cast<uint32_t>(get(minor, minor64, i)),
+                i};
+#ifdef _OPENMP
+    __gnu_parallel::sort(buf.begin(), buf.end());
+#else
+    std::sort(buf.begin(), buf.end());
+#endif
+  } else {
+    for (int64_t i = 0; i < n; ++i) buf[i] = {0, i};
+    std::sort(buf.begin(), buf.end(), [&](const P& x, const P& y) {
+      int64_t ax = get(major, major64, x.second), ay = get(major, major64, y.second);
+      if (ax != ay) return ax < ay;
+      int64_t bx = get(minor, minor64, x.second), by = get(minor, minor64, y.second);
+      if (bx != by) return bx < by;
+      return x.second < y.second;
+    });
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) order[i] = buf[i].second;
+  return n;
 }
 
 int64_t sbtpu_read_file(const char* path, char* out, int64_t size) {

@@ -48,6 +48,64 @@ def _fastio_enabled() -> bool:
 class PigoMTXReader(MTXReader):
     """MTXReader with the native parallel body parse."""
 
+    def read_coo(self):
+        """Coordinate bodies skip the generic float64 round trip: the
+        native parser already yields int64 row/col arrays, so build the
+        COO from them directly (the generic path column_stacks into a
+        float64 (n,3) body and re-casts — ~3 extra GB of first-touch
+        traffic at 100M nnz, which this VM's slow page faults make the
+        dominant ingest cost; BENCH_local.md round 3)."""
+        opts = self.options
+        if (
+            not _fastio_enabled()
+            or opts.format != "coordinate"
+            or opts.field == "complex"
+        ):
+            return super().read_coo()
+        from ..formats.coo import COO
+        from .mtx import _value_dtype, index_dtype_for
+
+        offset, size = _body_offset(self.filename)
+        if len(size) != 3:
+            raise ReaderError(f"Coordinate MTX needs 3 sizes, got {size}")
+        nrows, ncols, nnz = size
+        weighted = opts.field != "pattern"
+        row64, col64, vals = fastio.parse_entries(self.filename, offset, weighted)
+        if len(row64) != nnz:
+            raise ReaderError(f"Expected {nnz} entries, found {len(row64)}")
+        id_dtype = (
+            np.dtype(self.id_dtype) if self.id_dtype
+            else index_dtype_for(max(nrows, ncols))
+        )
+        row = row64.astype(id_dtype)
+        col = col64.astype(id_dtype)
+        if self.convert_to_zero_index:
+            row -= 1
+            col -= 1
+        if weighted:
+            vals = vals.astype(_value_dtype(opts.field, self.value_dtype))
+        else:
+            vals = None
+        if self.upper_triangle:
+            lo = np.minimum(row, col)
+            hi = np.maximum(row, col)
+            row, col = lo, hi
+        elif opts.symmetry in ("symmetric", "skew-symmetric"):
+            keep = row != col if opts.symmetry == "symmetric" else np.ones(
+                row.shape, dtype=bool
+            )
+            row, col = (
+                np.concatenate([row, col[keep]]),
+                np.concatenate([col, row[keep]]),
+            )
+            if vals is not None:
+                mirror = (
+                    -vals[keep] if opts.symmetry == "skew-symmetric"
+                    else vals[keep]
+                )
+                vals = np.concatenate([vals, mirror])
+        return COO.new(row, col, vals, shape=(nrows, ncols))
+
     def _read_numeric(self):
         # complex bodies have 4 (coordinate) / 2 (array) value tokens per
         # line; the native parser handles the 2/3-column layouts only.

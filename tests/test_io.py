@@ -519,3 +519,32 @@ class TestPigoReaders:
 
         coo = PigoMTXReader(str(p)).read_coo()
         np.testing.assert_allclose(np.asarray(coo.vals), [1.5e-3, -225.0], rtol=1e-6)
+
+
+class TestPigoDirectPath:
+    """PigoMTXReader.read_coo's direct int64 fast path (no float64 body
+    round trip) must match the generic reader on every coordinate
+    flavor + flag combination (reference: io/pigo_mtx_reader.cc returns
+    through the same COO semantics as MTXReader)."""
+
+    CASES = {
+        "pattern_general": "%%MatrixMarket matrix coordinate pattern general\n4 4 5\n1 2\n2 1\n3 4\n4 4\n2 3\n",
+        "real_symmetric": "%%MatrixMarket matrix coordinate real symmetric\n4 4 4\n1 1 1.5\n2 1 -2\n3 2 0.5\n4 4 3\n",
+        "integer_skew": "%%MatrixMarket matrix coordinate integer skew-symmetric\n4 4 3\n2 1 5\n3 1 2\n4 3 7\n",
+    }
+
+    @pytest.mark.parametrize("name", sorted(CASES))
+    @pytest.mark.parametrize("upper", [False, True])
+    def test_matches_generic(self, tmp_path, name, upper):
+        from sparsebase_tpu.io import MTXReader, PigoMTXReader
+
+        p = tmp_path / f"{name}.mtx"
+        p.write_text(self.CASES[name])
+        a = MTXReader(str(p), upper_triangle=upper).read_coo()
+        b = PigoMTXReader(str(p), upper_triangle=upper).read_coo()
+        np.testing.assert_array_equal(np.asarray(a.row), np.asarray(b.row))
+        np.testing.assert_array_equal(np.asarray(a.col), np.asarray(b.col))
+        if a.vals is None:
+            assert b.vals is None
+        else:
+            np.testing.assert_allclose(np.asarray(a.vals), np.asarray(b.vals))
