@@ -131,6 +131,14 @@ def run(device: bool = False):
             # the quotient-graph minimum degree is sequential host code;
             # keep it off large suite matrices
             reorders["amd"] = AMDReorder()
+        # fill metric (symbolic nnz(L)) on the small matrix — AMD's
+        # acceptance axis (BASELINE.md fill row); skipped at 20k where
+        # the random graph's factor is huge
+        do_fill = g.nrows <= 5_000
+        if do_fill:
+            from .ops.feature import FillIn
+
+            entry["natural"]["fill"] = int(FillIn().get_fill(g))
         entry["reorder"] = {}
         for rname, op in reorders.items():
             t0 = time.perf_counter()
@@ -142,6 +150,8 @@ def run(device: bool = False):
                 "bandwidth": int(np.asarray(Bandwidth().get_bandwidth(perm))),
                 "profile": int(np.asarray(Profile().get_profile(perm))),
             }
+            if do_fill:
+                entry["reorder"][rname]["fill"] = int(FillIn().get_fill(perm))
         # partition quality
         entry["partition"] = {}
         rng = np.random.default_rng(0)
@@ -255,16 +265,20 @@ def to_markdown(results) -> str:
     lines = ["# Benchmark suite results", ""]
     for mname, e in results.items():
         lines += [f"## {mname} — n={e['n']}, nnz={e['nnz']}", ""]
+        has_fill = "fill" in e["natural"]
+        fill_hdr = " fill |" if has_fill else ""
         lines += [
             f"conversion round trip: {e['convert_roundtrip_nnz_per_s']:.3g} nnz/s",
             "",
-            "| reorder | seconds | bandwidth | profile |",
-            "|---|---|---|---|",
-            f"| (natural) | — | {e['natural']['bandwidth']} | {e['natural']['profile']} |",
+            f"| reorder | seconds | bandwidth | profile |{fill_hdr}",
+            "|---|---|---|---|" + ("---|" if has_fill else ""),
+            f"| (natural) | — | {e['natural']['bandwidth']} | {e['natural']['profile']} |"
+            + (f" {e['natural']['fill']} |" if has_fill else ""),
         ]
         for rname, r in e["reorder"].items():
             lines.append(
                 f"| {rname} | {r['seconds']} | {r['bandwidth']} | {r['profile']} |"
+                + (f" {r.get('fill', '—')} |" if has_fill else "")
             )
         lines += ["", "| k | edge cut | random cut | balance |", "|---|---|---|---|"]
         for kname, p in e["partition"].items():

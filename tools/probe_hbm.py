@@ -59,11 +59,7 @@ def main():
     timeit("reduce 600M f32 (read only)",
            jax.jit(lambda x: jnp.sum(x.reshape(-1, 1000), axis=1)), xs,
            bytes_moved=M * 4)
-    donated = jax.jit(lambda x: x * 2.0 + 1.0, donate_argnums=0)
-    x2 = xs + 0.0
-    sync(x2)
-    timeit("triad donated 600M f32", donated, x2, reps=1, bytes_moved=M * 8)
-    del xs, x2
+    del xs
 
     # 2-D row gather: (N,16) operand permuted along axis 0
     x2d = jax.jit(lambda k: jax.random.normal(k, (N, 16), jnp.float32))(key)
