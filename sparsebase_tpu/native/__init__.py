@@ -113,6 +113,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sbtpu_triangles.argtypes = [
             ctypes.c_int64, _I64P, _I64P, ctypes.c_int, _I64P,
         ]
+        lib.sbtpu_fill_in.restype = ctypes.c_int64
+        lib.sbtpu_fill_in.argtypes = [ctypes.c_int64, _I64P, _I64P, _I64P]
         _lib = lib
         return _lib
 
@@ -259,3 +261,17 @@ def partition_kway(n, indptr, indices, ewts, k, seed, ufactor, niter) -> np.ndar
     if rc != 0:
         raise RuntimeError("graphkit partition failed")
     return out
+
+
+def fill_in(n, indptr, indices) -> int:
+    """Symbolic-factorization nnz(L) (mirror of ops/feature/fill.py)."""
+    lib = _load()
+    ip, ix = _csr64(indptr, indices)
+    out = np.zeros(1, np.int64)
+    rc = lib.sbtpu_fill_in(
+        n, ip.ctypes.data_as(_I64P), ix.ctypes.data_as(_I64P),
+        out.ctypes.data_as(_I64P),
+    )
+    if rc != 0:
+        raise RuntimeError("graphkit fill_in failed")
+    return int(out[0])

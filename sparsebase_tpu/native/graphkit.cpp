@@ -1505,4 +1505,38 @@ int64_t sbtpu_nested_dissection(int64_t n, const int64_t* indptr,
   return 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// Symbolic-factorization fill count (mirror of ops/feature/fill.py::
+// _fill_nnz_host): nnz(L) incl. diagonal of the Cholesky factor of the
+// symmetrized pattern in natural order -- elimination-tree upward walks
+// (Gilbert-Ng-Peyton row structure), O(nnz(L)).
+// ---------------------------------------------------------------------------
+int64_t sbtpu_fill_in(int64_t n, const int64_t* indptr, const int64_t* indices,
+                      int64_t* out_count) {
+  if (n <= 0) {
+    *out_count = 0;
+    return 0;
+  }
+  vector<int64_t> sp, sc;
+  symmetrize_dedup(n, indptr, indices, sp, sc);
+  vector<int64_t> parent(n, -1), mark(n, -1);
+  int64_t count = n;  // diagonal
+  for (int64_t i = 0; i < n; ++i) {
+    mark[i] = i;
+    for (int64_t e = sp[i]; e < sp[i + 1]; ++e) {
+      int64_t k = sc[e];
+      if (k >= i) continue;  // strictly-lower neighbors only
+      while (mark[k] != i) {
+        if (parent[k] == -1) parent[k] = i;
+        mark[k] = i;
+        ++count;
+        k = parent[k];
+      }
+    }
+  }
+  *out_count = count;
+  return 0;
+}
+
 }  // extern "C"

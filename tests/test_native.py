@@ -214,3 +214,27 @@ class TestJaccardTrianglesParity:
                 d = (np.asarray(csr.to_dense()) != 0).astype(np.int64)
                 np.fill_diagonal(d, 0)
                 assert nat == int(np.trace(d @ d @ d) // 6)
+
+
+class TestNativeFillIn:
+    def test_matches_python_walker(self):
+        from sparsebase_tpu import native
+        from sparsebase_tpu.ops.feature.fill import _fill_nnz_host
+
+        if not native.available():
+            pytest.skip("native graphkit unavailable")
+        rng = np.random.default_rng(7)
+        for n, deg in ((40, 3), (120, 5), (300, 4)):
+            nnz = n * deg
+            r = rng.integers(0, n, nnz).astype(np.int64)
+            c = rng.integers(0, n, nnz).astype(np.int64)
+            keep = r != c
+            keys = np.unique(r[keep] * n + c[keep])
+            rr = keys // n
+            cc = keys % n
+            ip = np.concatenate(
+                [[0], np.cumsum(np.bincount(rr, minlength=n))]
+            ).astype(np.int64)
+            assert native.fill_in(n, ip, cc.astype(np.int64)) == _fill_nnz_host(
+                ip, cc.astype(np.int64), n
+            )
