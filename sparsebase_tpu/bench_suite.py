@@ -76,9 +76,17 @@ def ash958_graph():
     csr = IOBase.read_mtx_to_csr("/root/reference/examples/data/ash958.mtx")
     n = max(csr.shape)
     coo = csr.convert(COO)
-    row = np.concatenate([np.asarray(coo.row), np.asarray(coo.col)])
-    col = np.concatenate([np.asarray(coo.col), np.asarray(coo.row)])
-    return COO.new(row, col, None, shape=(n, n)).convert(CSR)
+    row = np.concatenate([np.asarray(coo.row), np.asarray(coo.col)]).astype(np.int64)
+    col = np.concatenate([np.asarray(coo.col), np.asarray(coo.row)]).astype(np.int64)
+    # simple graph: dedup + drop self-loops (the rectangular index ranges
+    # overlap, so raw symmetrization yields 6 duplicate pairs and 4 loops
+    # that make multiset-vs-set comparisons ambiguous downstream)
+    keep = row != col
+    keys = np.unique(row[keep] * n + col[keep])
+    return COO.new(
+        (keys // n).astype(np.int32), (keys % n).astype(np.int32), None,
+        shape=(n, n),
+    ).convert(CSR)
 
 
 def run(device: bool = False):

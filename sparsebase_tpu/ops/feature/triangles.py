@@ -78,10 +78,29 @@ def _searchsorted_segments(indices, lo, hi, targets):
     return left - lo
 
 
+def _dedup_adj(indptr, indices, n):
+    """Set-semantics adjacency: unique (row, col) pairs. All triangle
+    paths in this package (host, native, device MXU, ring) count each
+    distinct edge once — the reference's marker check dedups the closing
+    edge but *iterates* the first two adjacency lists, so duplicated
+    input entries multiply its count (triangle_count.cc:190-203); its
+    tests only feed simple graphs, and set semantics is the documented
+    behavior here (README fidelity note)."""
+    row = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    keys = np.unique(row * n + indices)
+    r = keys // n
+    c = keys % n
+    ip = np.concatenate([[0], np.cumsum(np.bincount(r, minlength=n))])
+    return ip.astype(np.int64), c.astype(np.int64)
+
+
 def _undirected_count(csr: CSR) -> int:
-    indptr = np.asarray(csr.indptr).astype(np.int64)
-    indices = np.asarray(csr.indices).astype(np.int64)
     n = csr.nrows
+    indptr, indices = _dedup_adj(
+        np.asarray(csr.indptr).astype(np.int64),
+        np.asarray(csr.indices).astype(np.int64),
+        n,
+    )
     row = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     # edges (v,w) with v<w; for each, count u in N(v)∩N(w) with u<v:
     # equivalently common neighbors of v,w then filter by u<v via counting
@@ -106,10 +125,13 @@ def _undirected_count(csr: CSR) -> int:
 
 def _directed_count(csr: CSR) -> int:
     """Directed 3-cycles u→v→w→u anchored at min vertex u
-    (DirectedTriangleCount parity)."""
-    indptr = np.asarray(csr.indptr).astype(np.int64)
-    indices = np.asarray(csr.indices).astype(np.int64)
+    (DirectedTriangleCount parity; set semantics — see _dedup_adj)."""
     n = csr.nrows
+    indptr, indices = _dedup_adj(
+        np.asarray(csr.indptr).astype(np.int64),
+        np.asarray(csr.indices).astype(np.int64),
+        n,
+    )
     row = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     count = 0
     # edges u->v with u<v; for each, count w in N(v) with w>u and w->u
