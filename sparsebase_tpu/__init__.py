@@ -36,7 +36,7 @@ from .context import (
 from .convert import can_convert, convert_cached, register_conversion
 from .convert import convert as convert_format
 from .dispatch import ClassMatcher, Operation
-from .formats import COO, CSC, CSR, Array, DenseArray, Format
+from .formats import COO, CSC, CSR, DIA, ELL, Array, DenseArray, Format
 
 # Heavier layers (io pulls the native fastio loader, parallel pulls mesh
 # machinery, ops pulls every algorithm) load lazily on first attribute
@@ -90,6 +90,8 @@ __all__ = [
     "CSR",
     "COO",
     "CSC",
+    "DIA",
+    "ELL",
     "DenseArray",
     "Array",
     "Context",

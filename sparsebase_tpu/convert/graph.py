@@ -59,6 +59,20 @@ class ContextConversion:
         return self.fn(fmt, to_ctx)
 
 
+class EagerConversion:
+    """Marks a conversion that must run eagerly even on device inputs:
+    its output's static metadata (shapes) depends on the data — e.g.
+    CSR → ELL sizes the padded width to the max row degree, ELL → CSR
+    sizes the flat arrays to the true nnz — so it performs its own small
+    host syncs and cannot be traced."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, fmt):
+        return self.fn(fmt)
+
+
 class ConversionGraph:
     """Directed multigraph over format classes with conditional edges."""
 
@@ -170,6 +184,8 @@ class ConversionGraph:
         for fn, _cls in chain:
             if isinstance(fn, ContextConversion):
                 cur = fn(cur, context)
+            elif isinstance(fn, EagerConversion):
+                cur = fn(cur)
             else:
                 cur = fn(cur) if on_host else _device_fn(fn)(cur)
             out.append(cur)
@@ -207,6 +223,7 @@ def _register_builtin_edges():
     from ..formats.csc import CSC
     from ..formats.csr import CSR
     from ..formats.dia import DIA
+    from ..formats.ell import ELL
     from . import kernels as k
 
     register_conversion(COO, CSR, k.coo_to_csr)
@@ -217,6 +234,8 @@ def _register_builtin_edges():
     register_conversion(CSC, CSR, k.csc_to_csr)
     register_conversion(CSR, DIA, k.csr_to_dia)
     register_conversion(DIA, CSR, k.dia_to_csr)
+    register_conversion(CSR, ELL, EagerConversion(k.csr_to_ell))
+    register_conversion(ELL, CSR, EagerConversion(k.ell_to_csr))
 
 
 _MESH_EDGES_DONE = False

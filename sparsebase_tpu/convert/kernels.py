@@ -277,3 +277,92 @@ def csc_to_csr(csc: CSC) -> CSR:
         xp, csc.indices, col, csc.vals, csc.nrows, csc.ncols
     )
     return CSR(indptr, cols, vals, csc.shape)
+
+
+def csr_to_ell(csr: CSR, width=None):
+    """CSR → ELL (row-padded). Entry costs one nnz-sized scatter
+    (~8 ns/nnz on v5e — the measured price of reaching the padded
+    layout, BENCH_local.md r3); once there, row permutation runs at
+    ~1 ns/nnz and per-row sorts at 0.36. ``width`` defaults to the max
+    row degree (a small host sync — it becomes static metadata)."""
+    from ..formats.ell import ELL
+
+    xp = xp_for(csr.indptr, csr.indices)
+    n, m = csr.shape
+    deg = csr.indptr[1:] - csr.indptr[:-1]
+    if width is None:
+        width = int(np.asarray(deg.max() if xp is np else deg.max()))
+    width = max(int(width), 1)
+    row = csr.row_of_nnz()
+    if xp is np:
+        if int(deg.max(initial=0)) > width:
+            raise ValueError(f"csr_to_ell: width {width} < max degree")
+        pos = np.arange(csr.nnz) - np.asarray(csr.indptr)[np.asarray(row)]
+        cols = np.zeros((n, width), np.int32)
+        cols[np.asarray(row), pos] = np.asarray(csr.indices)
+        vals = None
+        if csr.vals is not None:
+            vals = np.zeros((n, width), csr.vals.dtype)
+            vals[np.asarray(row), pos] = np.asarray(csr.vals)
+        return ELL(cols, vals, np.asarray(deg).astype(np.int32), (n, m))
+    import jax.numpy as jnp
+
+    pos = jnp.arange(csr.nnz, dtype=jnp.int32) - expand_row_table(
+        csr.indptr[:-1], csr.indptr, csr.nnz, out_dtype=jnp.int32
+    )
+    # entries past the width (caller-supplied width < max degree) must
+    # not spill into the next row's slots: send them to the drop slot
+    flat = jnp.where(
+        pos < width, row.astype(jnp.int32) * width + pos, n * width
+    )
+    cols = (
+        jnp.zeros((n * width,), jnp.int32)
+        .at[flat]
+        .set(csr.indices.astype(jnp.int32), mode="drop")
+        .reshape(n, width)
+    )
+    vals = None
+    if csr.vals is not None:
+        vals = (
+            jnp.zeros((n * width,), csr.vals.dtype)
+            .at[flat]
+            .set(csr.vals, mode="drop")
+            .reshape(n, width)
+        )
+    return ELL(cols, vals, deg.astype(jnp.int32), (n, m))
+
+
+def ell_to_csr(ell):
+    """ELL → CSR: per-element gather of the valid slots back to flat
+    order (row-major; within-row order preserved)."""
+    from ..formats.ell import ELL  # noqa: F401
+
+    xp = xp_for(ell.cols, ell.lens)
+    n, m = ell.shape
+    w = ell.width
+    lens = ell.lens
+    if xp is np:
+        indptr = np.concatenate([[0], np.cumsum(np.asarray(lens))]).astype(np.int64)
+        mask = np.asarray(ell.valid_mask())
+        indices = np.asarray(ell.cols)[mask]
+        vals = None if ell.vals is None else np.asarray(ell.vals)[mask]
+        return CSR(indptr, indices.astype(np.int64), vals, (n, m))
+    import jax.numpy as jnp
+
+    nnz = ell.nnz  # host sync: flat shapes must be static
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens).astype(jnp.int32)]
+    )
+    row = _flat_row_of(jnp, indptr, nnz)
+    pos = jnp.arange(nnz, dtype=jnp.int32) - indptr[row]
+    flat = row * w + pos
+    indices = ell.cols.reshape(-1)[flat]
+    vals = None if ell.vals is None else ell.vals.reshape(-1)[flat]
+    return CSR(indptr, indices, vals, (n, m))
+
+
+def _flat_row_of(jnp, indptr, nnz):
+    marks = jnp.zeros((max(nnz, 1),), jnp.int32).at[indptr[:-1]].add(
+        1, mode="drop"
+    )
+    return (jnp.cumsum(marks) - 1)[:nnz]

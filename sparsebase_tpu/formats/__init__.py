@@ -6,6 +6,7 @@ from .coo import COO
 from .csc import CSC
 from .csr import CSR
 from .dia import DIA
+from .ell import ELL
 
 __all__ = [
     "Format",
@@ -13,6 +14,7 @@ __all__ = [
     "COO",
     "CSC",
     "DIA",
+    "ELL",
     "DenseArray",
     "Array",
     "register_format",

@@ -173,3 +173,21 @@ def partition_pipeline(coo: COO, x, k: int = 8, num_iters: int = 10):
 # (reference: src/sparsebase/converter/converter_order_two.cc:258-341).
 # Note a donated input is consumed: callers must not reuse `coo` after.
 preprocess_pipeline_donating = jax.jit(preprocess_pipeline, donate_argnums=(0,))
+
+
+def spmv_ell(ell, x):
+    """Row-wise SpMV on the ELL (row-padded) layout: masked elementwise
+    products + a row sum — no indptr machinery; the x-gather is the only
+    irregular access. Pattern matrices multiply by the mask."""
+    import jax.numpy as jnp
+
+    from ..formats.base import xp_for
+
+    xp = xp_for(ell.cols)
+    mask = ell.valid_mask()
+    xg = x[ell.cols]
+    if ell.vals is None:
+        prod = xp.where(mask, xg, 0)
+    else:
+        prod = xp.where(mask, ell.vals * xg, 0)
+    return prod.sum(axis=1)

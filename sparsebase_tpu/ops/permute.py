@@ -27,6 +27,7 @@ from ..formats.base import xp_for
 from ..formats.coo import COO
 from ..formats.csc import CSC
 from ..formats.csr import CSR
+from ..formats.ell import ELL
 from ..utils.exceptions import ReorderError
 
 
@@ -37,6 +38,24 @@ def inverse_permutation(order) -> object:
     """
     xp = xp_for(order)
     return xp.argsort(order)
+
+
+def _permute_ell(formats, params: "PermuteOrderTwoParams"):
+    """Permute an ELL matrix in place of layout: the row move is ONE 2-D
+    row gather (~1 ns/nnz on v5e, BENCH_local.md r3 — the reason ELL
+    exists), the column relabel a masked gather + per-row sort."""
+    ell = formats[0]
+    xp = xp_for(ell.cols, ell.lens)
+    out = ell
+    if params.col_order is not None:
+        co = xp.asarray(params.col_order)
+        mask = out.valid_mask()
+        new_cols = xp.where(mask, co[out.cols], 0)
+        out = dataclasses.replace(out, cols=new_cols)
+        out = out.sort_rows()
+    if params.row_order is not None:
+        out = out.permute_rows(params.row_order)
+    return out
 
 
 @dataclasses.dataclass
@@ -127,6 +146,7 @@ class PermuteOrderTwo(Operation):
         self.params = PermuteOrderTwoParams(row_order, col_order)
         self.register((CSR,), _permute_csr)
         self.register((COO,), _permute_coo)
+        self.register((ELL,), _permute_ell)
 
     def get_permutation(self, fmt, context=None, convert_input: bool = True):
         return self.execute(self.params, fmt, context=context, convert_input=convert_input)
