@@ -5,12 +5,17 @@ is the layout SURVEY.md §7's design mapping calls "padded/blocked CSR
 ... so everything is static-shape for XLA", justified by round-3 chip
 measurements (BENCH_local.md):
 
-* row permutation = one 2-D row gather: **0.98 ns/nnz** at (6.25M, 16)
-  — 5.5× cheaper per element than any flat-layout gather;
+* row permutation is 2-D row gathers: 0.98 ns/nnz at (6.25M, 16) one
+  array; a full rows-only relayout (cols+vals+lens at W=40, 2.5×
+  padding) measures 4.2 ns/nnz — 3× under the flat-CSR full permute
+  (13.2);
 * per-row column sorts: 0.36 ns/elem — ~13× under the global 2-key sort;
-* entry from flat CSR costs one scatter (~8 ns/nnz), so ELL pays off for
-  pipelines that *stay* padded across several reorder/permute steps (or
-  ingest padded directly), not for one-shot conversions.
+* entry from flat CSR costs one scatter (~18 ns/nnz incl. the padded
+  re-layout), and a FULL symmetric permute pays the per-slot column
+  relabel (23.7 at 2.5× padding — the flat sort wins there), so ELL
+  pays off for pipelines applying repeated **row** relayouts (partition
+  grouping, block reorders) or ingesting padded directly — not for
+  one-shot full permutations (tools/bench_ell_permute.py).
 
 Layout: ``cols[i, j]`` = j-th column id of row i (pad slots 0),
 ``vals[i, j]`` matching values (pad 0; ``None`` for pattern matrices),

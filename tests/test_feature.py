@@ -164,6 +164,21 @@ class TestTriangleCount:
         expect = int(np.trace(dense @ dense @ dense) // 6)
         assert TriangleCount().get_triangle_count(g) == expect
 
+    def test_duplicates_and_selfloops_set_semantics(self):
+        # K3 with one duplicated edge and a self-loop: every path (host,
+        # device dense, native) must count the simple graph — 1 triangle
+        r = np.array([0, 1, 1, 2, 0, 2, 0, 1, 1], np.int32)
+        c = np.array([1, 0, 2, 1, 2, 0, 1, 0, 1], np.int32)  # dup (0,1)/(1,0), loop (1,1)
+        g = COO.new(r, c, None, shape=(3, 3), sort=True).convert(CSR)
+        from sparsebase_tpu.ops.feature.triangles import (
+            _device_dense_count,
+            _undirected_count,
+        )
+
+        assert _undirected_count(g) == 1
+        assert TriangleCount().get_triangle_count(g) == 1
+        assert _device_dense_count(g.to_device(), False) == 1
+
     def test_device_exact_past_f32_range(self):
         # K_512: 6T = 133,432,320 > 2**24 — a bare f32 reduction drifts;
         # the wrapped-int32 + f32 reconstruction must stay exact
