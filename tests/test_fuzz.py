@@ -113,3 +113,26 @@ def test_sharded_fuzz():
         np.testing.assert_array_equal(
             np.asarray(back.indices), np.asarray(csr.indices)
         )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_ell_round_trip_vs_oracle(seed):
+    """CSR↔ELL over the same random-case space (rectangular, empty rows,
+    duplicates, pattern) — the padded re-layout must be lossless."""
+    from sparsebase_tpu import ELL
+
+    rng = np.random.default_rng(7000 + seed)
+    for _ in range(4):
+        n, m, r, c, v = _random_case(rng)
+        oracle = _dense(n, m, r, c, v)
+        csr = coo_to_csr(COO.new(r, c, v, shape=(n, m)))
+        ell = csr.convert(ELL)
+        assert ell.nnz == csr.nnz
+        back = ell.convert(CSR)
+        np.testing.assert_allclose(np.asarray(back.to_dense()), oracle,
+                                   rtol=1e-6)
+        # device flavor
+        ell_d = csr.to_device().convert(ELL)
+        back_d = ell_d.convert(CSR)
+        np.testing.assert_allclose(np.asarray(back_d.to_dense()), oracle,
+                                   rtol=1e-6)
