@@ -170,6 +170,16 @@ class GraphFeatureBase:
         return op.execute_cached(op.params, fmt, context=context)
 
     @staticmethod
+    def get_fill_in(fmt: Format, context=None, convert_input=True):
+        """Symbolic-factorization nnz(L) of the current row order — the
+        fill metric AMD/nested-dissection orderings are judged on (no
+        reference facade; the reference outsources fill quality to
+        SuiteSparse, amd_reorder.cc:29-57)."""
+        from .ops.feature import FillIn
+
+        return FillIn().get_fill(fmt, context=context, convert_input=convert_input)
+
+    @staticmethod
     def extract(features, fmt: Format, context=None, convert_input=True):
         """Fused multi-feature extraction (feature::Extractor::Extract)."""
         from .ops.feature import FeatureExtractor
