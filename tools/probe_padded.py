@@ -146,12 +146,17 @@ def main():
     timeit(f"rowsort ({N}x{W} key+payload)", rowsort, padded, plens)
 
     # ---- 4/5/6. reference points -------------------------------------------
+    # NB: a standalone jit returning the (nnz, 2) pair-gather output OOMs:
+    # XLA materializes s32[1e8,2] with T(8,128) tiling = 51.2 GB. Fuse a
+    # reduce so the layout never materializes (tools/probe_hbm.py measures
+    # the same op; the number matches the in-pipeline cost).
     @jax.jit
-    def pair_gather(c, table):
-        return table[c]
+    def pair_reduce(c, table):
+        pair = table[c]
+        return jnp.sum(pair[:, 0] + pair[:, 1], dtype=jnp.int32)[None]
 
     table = jnp.stack([jnp.arange(N, dtype=jnp.int32)] * 2, axis=1)
-    timeit("pair gather (n,2) by col", pair_gather, col, table)
+    timeit("pair gather (n,2) by col (+fused reduce)", pair_reduce, col, table)
 
     @jax.jit
     def sort2(r, c, v):
