@@ -1117,8 +1117,11 @@ def slashburn_reorder(
     communication: active degrees (halo exchange + segment sum), hub
     selection (psum'd degree-histogram counting rank, comm O(D·buckets) —
     no replicated sort; the histogram is sized each round from the
-    actual max active degree so no degree ever clips, ``bucket_cap``
-    only sets the minimum size), connected components
+    actual max active degree so no degree ever clips — exactness over
+    the fixed-cap comm bound: a round whose max degree is Θ(n) ships a
+    Θ(D·n) histogram, and hub degrees shrink fast after the first
+    removals; ``bucket_cap`` only sets the minimum size), connected
+    components
     (:func:`connected_components` min-label hooking), and ``hub_order``'s
     discovering-hub index (one neighbor-min exchange). Host code only
     does the O(n) position bookkeeping between rounds, like
