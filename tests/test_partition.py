@@ -382,3 +382,12 @@ class TestFillIn:
         g = random_graph(rng, n=80, avg_deg=4)
         amd = np.asarray(AMDReorder().get_reorder(g))
         assert self._fill(ReorderBase.permute2d(amd, g)) <= self._fill(g)
+
+
+def test_graph_feature_base_fill_facade():
+    from sparsebase_tpu.bases import GraphFeatureBase
+
+    g = grid_graph(8)
+    from sparsebase_tpu.ops.feature import FillIn
+
+    assert GraphFeatureBase.get_fill_in(g) == FillIn().get_fill(g)
