@@ -307,14 +307,16 @@ def csr_to_ell(csr: CSR, width=None):
         return ELL(cols, vals, np.asarray(deg).astype(np.int32), (n, m))
     import jax.numpy as jnp
 
+    # Match the numpy path: a caller-supplied width below the max row
+    # degree is an error, not silent truncation (lens=deg would overcount
+    # nnz and ell_to_csr would index past the row). CSR<->ELL edges are
+    # eager (static shapes are data-dependent), so the host sync is fine.
+    if n > 0 and int(np.asarray(deg.max())) > width:
+        raise ValueError(f"csr_to_ell: width {width} < max degree")
     pos = jnp.arange(csr.nnz, dtype=jnp.int32) - expand_row_table(
         csr.indptr[:-1], csr.indptr, csr.nnz, out_dtype=jnp.int32
     )
-    # entries past the width (caller-supplied width < max degree) must
-    # not spill into the next row's slots: send them to the drop slot
-    flat = jnp.where(
-        pos < width, row.astype(jnp.int32) * width + pos, n * width
-    )
+    flat = row.astype(jnp.int32) * width + pos
     cols = (
         jnp.zeros((n * width,), jnp.int32)
         .at[flat]

@@ -394,24 +394,29 @@ def balanced_row_order(csr: CSR, d: int) -> np.ndarray:
     deg = np.diff(np.asarray(csr.indptr)).astype(np.int64)
     by_deg = np.argsort(-deg, kind="stable")  # heavy first
     rows = -(-n // d)
-    blocks = np.empty(n, np.int64)
-    slots = np.empty(n, np.int64)
-    idx = np.arange(n)
-    round_i = idx // d
-    pos = idx % d
+    # The physical shard boundaries are fixed multiples of ceil(n/d)
+    # (ShardedCSR pads only the LAST shard), so the deal must hand out
+    # exactly `rows` rows to each block before the tail block B = n//rows
+    # (which gets the remaining c_B = n - B*rows). Deal serpentine in two
+    # phases: rounds 0..c_B-1 over blocks 0..B (the tail block takes the
+    # heaviest rounds, so the short shard is under- not over-loaded),
+    # then rounds c_B..rows-1 over blocks 0..B-1. Positions block*rows +
+    # round then tile 0..n-1 exactly — no compaction, so dealt blocks
+    # coincide with physical shards even when n % d != 0.
+    B = n // rows
+    c_tail = n - B * rows
+    idx = np.arange(n, dtype=np.int64)
+    p1 = c_tail * (B + 1)  # entries dealt in phase 1
+    in1 = idx < p1
+    w = np.where(in1, B + 1, max(B, 1))  # round width per entry
+    off = np.where(in1, idx, idx - p1)
+    round_i = np.where(in1, off // (B + 1), c_tail + off // max(B, 1))
+    pos = off % w
     fwd = (round_i % 2) == 0
-    blocks = np.where(fwd, pos, d - 1 - pos)
-    slots = round_i
-    # rows beyond the last full round would overflow block capacity only
-    # if n % d != 0 rounds land unevenly — slots < rows always holds
-    # since each block receives at most ceil(n/d) rows by construction.
+    blocks = np.where(fwd, pos, w - 1 - pos)
     order = np.empty(n, np.int64)
-    order[by_deg] = blocks * rows + slots
-    # compact: the serpentine can leave the last block short; positions
-    # must be a permutation of 0..n-1
-    rank = np.empty(n, np.int64)
-    rank[np.argsort(order, kind="stable")] = np.arange(n)
-    return rank.astype(np.int64)
+    order[by_deg] = blocks * rows + round_i
+    return order
 
 
 @functools.lru_cache(maxsize=None)

@@ -293,6 +293,30 @@ class TestBalancedSharding:
         assert sh1.padded_width_ratio() <= 2.0  # the item-3 criterion
         assert sh1.nnz == csr.nnz
 
+    def test_tail_alignment_when_n_not_divisible(self):
+        # n % d != 0: dealt blocks must coincide with the fixed
+        # ceil(n/d) shard boundaries (ADVICE r3: the old rank compaction
+        # shifted up to d-1 rows across shards). Every non-tail shard
+        # must hold exactly `rows` rows and nnz stays balanced.
+        from sparsebase_tpu.parallel.sharded import balanced_row_order
+
+        d = 8
+        csr = self._zipf_csr(n=20005, nz=200000, seed=2)
+        n = csr.nrows
+        order = balanced_row_order(csr, d)
+        assert sorted(order.tolist()) == list(range(n))
+        rows = -(-n // d)
+        deg = np.diff(np.asarray(csr.indptr))
+        shard_of_new = np.minimum(np.arange(n) // rows, d - 1)
+        shard_nnz = np.bincount(shard_of_new[order], weights=deg, minlength=d)
+        counts = np.bincount(shard_of_new[order], minlength=d)
+        assert (counts[:-1] == rows).all()
+        assert counts[-1] == n - (d - 1) * rows
+        mean = deg.sum() / d
+        # same <=2 criterion as the padded-width gate; the head zipf row
+        # alone sets the max for any contiguous-block deal
+        assert shard_nnz.max() <= 2.0 * mean
+
     def test_halo_kernels_green_on_balanced(self, mesh, rng):
         import scipy.sparse as sp
 
