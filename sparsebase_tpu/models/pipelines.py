@@ -62,7 +62,42 @@ def spmv_csr(csr: CSR, x, method: str = "auto"):
     return jax.ops.segment_sum(prod, csr.row_of_nnz(), num_segments=csr.nrows)
 
 
-def _permute_and_spmv(coo: COO, indptr, degrees, ro, x):
+def _row_sums_blocked(prod, indptr, n, block: int = 512):
+    """Per-row sums of the contiguous-row product stream — two-level
+    blocked prefix instead of one global nnz ``cumsum``: within-block
+    inclusive scans over a (B, K) reshape (vectorized, minor axis) + a
+    B-sized block-prefix, with the per-row boundary reads becoming two
+    n-sized gathers ``run[e] = bpfx[e // K] + intra[e - 1]``. Exactness
+    matches the cumsum formulation (same f32 running sums, shorter
+    chains)."""
+    K = int(block)
+    nnz = prod.shape[0]
+    B = -(-nnz // K)
+    P = B * K
+    p = (
+        prod
+        if P == nnz
+        else jnp.concatenate([prod, jnp.zeros((P - nnz,), prod.dtype)])
+    )
+    intra = jnp.cumsum(p.reshape(B, K), axis=1)
+    bpfx = jnp.concatenate(
+        [jnp.zeros((1,), prod.dtype), jnp.cumsum(intra[:, -1])]
+    )
+    flat_intra = intra.reshape(-1)
+
+    def run_at(e):
+        e32 = e.astype(jnp.int32)
+        be = e32 // K
+        head = e32 - be * K == 0
+        intra_part = jnp.where(
+            head, jnp.zeros((), prod.dtype), flat_intra[jnp.maximum(e32 - 1, 0)]
+        )
+        return bpfx[be] + intra_part
+
+    return run_at(indptr[1:]) - run_at(indptr[:-1])
+
+
+def _permute_and_spmv(coo: COO, indptr, degrees, ro, x, *, blocked_reduce: bool = False):
     """Shared pipeline tail: given an inverse permutation ``ro`` (and the
     CSR structure of the input), apply the symmetric permutation with the
     measured-optimal op mix (one fused pair gather + one 2-key sort) and
@@ -85,8 +120,11 @@ def _permute_and_spmv(coo: COO, indptr, degrees, ro, x):
 
     # -- SpMV, reduced in source-row order (order-independent per row) -------
     prod = vals.astype(x.dtype) * x_c.astype(x.dtype)
-    run = jnp.concatenate([jnp.zeros((1,), prod.dtype), jnp.cumsum(prod)])
-    y_old = run[indptr[1:]] - run[indptr[:-1]]
+    if blocked_reduce:
+        y_old = _row_sums_blocked(prod, indptr, n)
+    else:
+        run = jnp.concatenate([jnp.zeros((1,), prod.dtype), jnp.cumsum(prod)])
+        y_old = run[indptr[1:]] - run[indptr[:-1]]
     y = jnp.zeros((n,), prod.dtype).at[ro].set(y_old)  # y[ro[i]] = (A@x)[i]
 
     # -- permutation: relabel + one 2-key sort --------------------------------
@@ -124,6 +162,28 @@ def preprocess_pipeline(coo: COO, x):
     ro = jnp.zeros((n,), idt).at[perm].set(jnp.arange(n, dtype=idt))  # ro[old]=new
 
     return _permute_and_spmv(coo, indptr, degrees, ro, x)
+
+
+def preprocess_pipeline_v2(coo: COO, x, *, block: int = 512, blocked_reduce: bool = True):
+    """:func:`preprocess_pipeline` with the round-4 blocked kernels:
+    ``indptr`` via per-block rowsort compaction
+    (:func:`~sparsebase_tpu.convert.kernels.indptr_from_sorted_rows_blocked`,
+    replacing the 3.7 ns/nnz global boundary sort) and the SpMV reduction
+    via the two-level blocked prefix (:func:`_row_sums_blocked`).
+    Bit-compatible structure output; y differs only by f32 summation
+    association."""
+    from ..convert.kernels import indptr_from_sorted_rows_blocked
+
+    n = coo.nrows
+    nnz = coo.nnz
+    idt = coo.row.dtype
+    indptr = indptr_from_sorted_rows_blocked(coo.row, n, nnz, block=block)
+    degrees = indptr[1:] - indptr[:-1]
+    perm = jnp.argsort(degrees, stable=True)
+    ro = jnp.zeros((n,), idt).at[perm].set(jnp.arange(n, dtype=idt))
+    return _permute_and_spmv(
+        coo, indptr, degrees, ro, x, blocked_reduce=blocked_reduce
+    )
 
 
 def rcm_pipeline(coo: COO, x):

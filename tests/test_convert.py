@@ -192,6 +192,80 @@ def fx_sorted_coo(r, c, v, n):
     return COO(r[order], c[order], v[order], (n, n))
 
 
+class TestBlockedIndptr:
+    """Round-4 blocked-compaction kernel vs the histogram oracle."""
+
+    def _check(self, rows, n, block):
+        import jax.numpy as jnp
+
+        from sparsebase_tpu.convert.kernels import indptr_from_sorted_rows_blocked
+
+        rows = np.sort(np.asarray(rows, np.int32))
+        got = np.asarray(
+            indptr_from_sorted_rows_blocked(jnp.asarray(rows), n, len(rows), block=block)
+        )
+        expect = np.concatenate(
+            [[0], np.cumsum(np.bincount(rows, minlength=n))]
+        ).astype(np.int32)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_fuzz_vs_histogram(self, rng):
+        for seed in range(8):
+            r = np.random.default_rng(seed)
+            n = int(r.integers(1, 300))
+            nnz = int(r.integers(0, 2000))
+            for block in (8, 64, 512):
+                self._check(r.integers(0, n, nnz), n, block)
+
+    def test_edge_shapes(self):
+        self._check([], 6, 64)
+        self._check([4] * 17, 8, 8)          # one row, multiple blocks
+        self._check([3, 3, 5, 5, 5, 9], 12, 4)
+        self._check(np.arange(100), 100, 7)  # every row a head, odd block
+
+    def test_jit_and_pipeline_v2(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from sparsebase_tpu.models import preprocess_pipeline
+        from sparsebase_tpu.models.pipelines import preprocess_pipeline_v2
+
+        n = 200
+        r = np.sort(rng.integers(0, n, 3000)).astype(np.int32)
+        c = rng.integers(0, n, 3000).astype(np.int32)
+        v = rng.standard_normal(3000).astype(np.float32)
+        coo = fx_sorted_coo(r, c, v, n).to_device()
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        ref_csr, ref_y = jax.jit(preprocess_pipeline)(coo, x)
+        got_csr, got_y = jax.jit(
+            lambda a, b: preprocess_pipeline_v2(a, b, block=64)
+        )(coo, x)
+        np.testing.assert_array_equal(np.asarray(ref_csr.indptr), np.asarray(got_csr.indptr))
+        np.testing.assert_array_equal(np.asarray(ref_csr.indices), np.asarray(got_csr.indices))
+        np.testing.assert_allclose(np.asarray(ref_y), np.asarray(got_y), rtol=2e-5, atol=2e-5)
+
+
+class TestBlockedRowSums:
+    def test_matches_segment_sums(self, rng):
+        import jax.numpy as jnp
+
+        from sparsebase_tpu.models.pipelines import _row_sums_blocked
+
+        for block in (4, 32, 512):
+            n = 50
+            rows = np.sort(rng.integers(0, n, 700)).astype(np.int32)
+            prod = rng.standard_normal(700).astype(np.float32)
+            indptr = np.concatenate(
+                [[0], np.cumsum(np.bincount(rows, minlength=n))]
+            ).astype(np.int32)
+            got = np.asarray(
+                _row_sums_blocked(jnp.asarray(prod), jnp.asarray(indptr), n, block=block)
+            )
+            expect = np.zeros(n, np.float64)
+            np.add.at(expect, rows, prod.astype(np.float64))
+            np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
 class TestPreprocessPipeline:
     """Flagship pipeline vs a dense numpy model of the same semantics."""
 
