@@ -111,6 +111,79 @@ class TestRingJaccard:
             assert (padded[i, counts[i] :] == 0).all()
 
 
+class TestSparseRing:
+    """Sparse (binary-search) ring — the big-n path past MAX_DENSE_ELEMS
+    (VERDICT r3 item 5). Parity vs both the dense ring and the host
+    implementations."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_triangles_match_host_and_dense(self, mesh, seed):
+        rng = np.random.default_rng(40 + seed)
+        csr = random_csr(rng, n=70 + 9 * seed, avg_deg=6, symmetric=True)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=False)
+        got = ring.triangle_count_sparse(sh, mesh)
+        assert got == _undirected_count(csr)
+        assert got == ring.triangle_count(sh, mesh, directed=False)
+
+    def test_triangles_k512_exact_past_f32(self, mesh):
+        n = 512
+        dense = 1 - np.eye(n, dtype=np.int32)
+        r, c = np.nonzero(dense)
+        counts = np.bincount(r, minlength=n)
+        csr = CSR(
+            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32),
+            c.astype(np.int32), None, (n, n),
+        )
+        sh = ShardedCSR.from_csr(csr, mesh, halo=False)
+        expect = n * (n - 1) * (n - 2) // 6
+        assert ring.triangle_count_sparse(sh, mesh) == expect
+
+    def test_triangles_tolerate_self_loops_and_duplicates(self, mesh):
+        # triangle 0-1-2 plus a self-loop at 0 and a duplicated edge 0-1
+        edges = [(0, 1), (1, 2), (2, 0), (0, 0), (0, 1)]
+        n = 6
+        row = np.array(
+            [u for u, v in edges] + [v for u, v in edges], np.int64
+        )
+        col = np.array(
+            [v for u, v in edges] + [u for u, v in edges], np.int64
+        )
+        order = np.lexsort((col, row))
+        row, col = row[order], col[order]  # keep duplicates (multiset CSR)
+        counts = np.bincount(row, minlength=n)
+        csr = CSR(
+            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32),
+            col.astype(np.int32), None, (n, n),
+        )
+        sh = ShardedCSR.from_csr(csr, mesh, halo=False)
+        assert ring.triangle_count_sparse(sh, mesh) == 1
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_jaccard_matches_host_and_dense(self, mesh, seed):
+        rng = np.random.default_rng(50 + seed)
+        csr = random_csr(rng, n=66 + 5 * seed, symmetric=(seed % 2 == 0))
+        sh = ShardedCSR.from_csr(csr, mesh, halo=False)
+        got = np.asarray(jax.device_get(ring.jaccard_weights_sparse(sh, mesh)))
+        dense = np.asarray(jax.device_get(ring.jaccard_weights(sh, mesh)))
+        np.testing.assert_allclose(got, dense, rtol=0, atol=1e-6)
+        counts = np.asarray(jax.device_get(sh.nnz_local))
+        flat = np.concatenate([got[i, : counts[i]] for i in range(got.shape[0])])
+        np.testing.assert_allclose(flat, _jaccard_host(csr), rtol=0, atol=1e-6)
+
+    def test_auto_fallback_past_dense_guard(self, mesh, monkeypatch):
+        # shrink the guard so the dense path refuses, and check the
+        # public entry points route to the sparse ring transparently
+        rng = np.random.default_rng(9)
+        csr = random_csr(rng, n=64, symmetric=True)
+        sh = ShardedCSR.from_csr(csr, mesh, halo=False)
+        monkeypatch.setattr(ring, "MAX_DENSE_ELEMS", 1)
+        assert ring.triangle_count(sh, mesh) == _undirected_count(csr)
+        flat = ring.jaccard_flat(sh, mesh)
+        np.testing.assert_allclose(flat, _jaccard_host(csr), rtol=0, atol=1e-6)
+        with pytest.raises(ValueError, match="directed"):
+            ring.triangle_count(sh, mesh, directed=True)
+
+
 class TestRingHLO:
     def test_hlo_uses_ppermute_and_matmul(self, mesh):
         rng = np.random.default_rng(3)
