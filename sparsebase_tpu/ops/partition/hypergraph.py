@@ -38,6 +38,7 @@ class PatohPartitionParams:
     final_imbalance: float = 0.1
     seed: int = 42
     num_iterations: int = 20
+    refine_rounds: int = 8
 
 
 def column_net_hypergraph(csr: CSR):
@@ -69,22 +70,98 @@ def cutsize_connectivity(net_indptr, pins, labels, k) -> int:
     return int((lam - 1).sum())
 
 
+def _net_counts(net_of, pins, labels, n_nets, k):
+    counts = np.zeros((n_nets, k), np.int32)
+    np.add.at(counts, (net_of, labels[pins]), 1)
+    return counts
+
+
+def _fm_round(net_indptr, net_of, pins, cell_weights, labels, sizes, cap, k, max_moves):
+    """One FM-style pass on the connectivity-1 objective.
+
+    Exact move gain (cell v: p → q) over v's nets j:
+    ``gain = Σ_j [count(j, p) == 1] − Σ_j [count(j, q) == 0]`` — the net
+    leaves p entirely (λ−1) iff v was its only pin there, and newly
+    touches q (λ+1) iff it had none. Candidates with gain ≥ 0 (zero-gain
+    moves wander plateaus — the round-3 graph-anchor lesson) are applied
+    greedily best-first with live net-count/size updates, so every
+    accepted move's gain is exact at acceptance time."""
+    n_nets = len(net_indptr) - 1
+    n_cells = len(labels)
+    counts = _net_counts(net_of, pins, labels, n_nets, k)
+    lp = labels[pins]
+    # A_v = Σ_{j ∋ v} [count(j, label_v) == 1]
+    a_pin = counts[net_of, lp] == 1
+    A = np.zeros(n_cells, np.int32)
+    np.add.at(A, pins, a_pin.astype(np.int32))
+    # B_{v,q} = Σ_{j ∋ v} [count(j, q) == 0]
+    B = np.zeros((n_cells, k), np.int32)
+    np.add.at(B, pins, (counts[net_of] == 0).astype(np.int32))
+    G = A[:, None] - B  # gain of moving v to q (invalid at q == label_v)
+    G[np.arange(n_cells), labels] = np.iinfo(np.int32).min
+    best_q = np.argmax(G, axis=1)
+    best_g = G[np.arange(n_cells), best_q]
+    cand = np.nonzero(best_g >= 0)[0]
+    if len(cand) == 0:
+        return 0
+    order = cand[np.argsort(-best_g[cand], kind="stable")][:max_moves]
+    # cell → nets adjacency for live gain re-evaluation
+    pin_order = np.argsort(pins, kind="stable")
+    cell_net_indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(pins, minlength=n_cells))]
+    )
+    nets_by_cell = net_of[pin_order]
+    moved = 0
+    for v in order:
+        p = int(labels[v])
+        nets_v = nets_by_cell[cell_net_indptr[v] : cell_net_indptr[v + 1]]
+        row = counts[nets_v]
+        gains = (row[:, p] == 1).sum() - (row == 0).sum(axis=0)
+        gains[p] = np.iinfo(np.int32).min
+        q = int(np.argmax(gains))
+        if gains[q] < 0:
+            continue
+        if sizes[q] + cell_weights[v] > cap:
+            # try the best feasible alternative
+            feas = [
+                (gains[q2], q2)
+                for q2 in range(k)
+                if q2 != p and gains[q2] >= 0 and sizes[q2] + cell_weights[v] <= cap
+            ]
+            if not feas:
+                continue
+            _, q = max(feas)
+        labels[v] = q
+        counts[nets_v, p] -= 1
+        counts[nets_v, q] += 1
+        sizes[p] -= cell_weights[v]
+        sizes[q] += cell_weights[v]
+        moved += 1
+    return moved
+
+
 def hypergraph_label_prop(net_indptr, pins, cell_weights, params: PatohPartitionParams):
+    """Connectivity-driven label propagation + FM refinement on the
+    column-net hypergraph. Deterministic balanced init (weighted
+    contiguous chunks — exploits index locality like PaToH's recursive
+    bisection start), PULP-style tightening label prop, then FM passes
+    on the exact λ−1 gains with best-feasible tracking."""
     n_nets = len(net_indptr) - 1
     n_cells = int(cell_weights.shape[0])
     k = int(params.num_partitions)
-    if k <= 1:
+    if k <= 1 or n_cells == 0:
         return np.zeros(n_cells, np.int32)
     net_of = np.repeat(np.arange(n_nets, dtype=np.int64), np.diff(net_indptr))
     total_w = float(cell_weights.sum())
     cap = (1.0 + params.final_imbalance) * total_w / k
-    rng = np.random.default_rng(params.seed)
-    labels = rng.integers(0, k, n_cells).astype(np.int64)
+    # init: weighted contiguous chunks (prefix deal) — balanced by
+    # construction and locality-aware for index-ordered inputs
+    wpfx = np.cumsum(cell_weights) - cell_weights / 2.0
+    labels = np.minimum(
+        (wpfx / max(total_w, 1e-30) * k).astype(np.int64), k - 1
+    )
     for it in range(params.num_iterations):
-        # net part-presence counts
-        net_counts = np.zeros((n_nets, k), np.float32)
-        np.add.at(net_counts, (net_of, labels[pins]), 1.0)
-        # cell affinity: sum of its nets' part counts (minus self)
+        net_counts = _net_counts(net_of, pins, labels, n_nets, k).astype(np.float32)
         cell_aff = np.zeros((n_cells, k), np.float32)
         np.add.at(cell_aff, pins, net_counts[net_of])
         sizes = np.zeros(k, np.float64)
@@ -100,8 +177,7 @@ def hypergraph_label_prop(net_indptr, pins, cell_weights, params: PatohPartition
     # parts into the lightest parts until every part fits the cap
     sizes = np.zeros(k, np.float64)
     np.add.at(sizes, labels, cell_weights)
-    net_counts = np.zeros((n_nets, k), np.float32)
-    np.add.at(net_counts, (net_of, labels[pins]), 1.0)
+    net_counts = _net_counts(net_of, pins, labels, n_nets, k).astype(np.float32)
     cell_aff = np.zeros((n_cells, k), np.float32)
     np.add.at(cell_aff, pins, net_counts[net_of])
     for p in np.argsort(-sizes):
@@ -121,7 +197,25 @@ def hypergraph_label_prop(net_indptr, pins, cell_weights, params: PatohPartition
             labels[v] = tgt
             sizes[p] -= cell_weights[v]
             sizes[tgt] += cell_weights[v]
-    return labels.astype(np.int32)
+    # FM refinement with best-feasible tracking (anchors exposed pure
+    # label prop stalling 2-4x off the tiling optima, like the graph
+    # partitioner before round 3's zero-gain fix)
+    best = labels.copy()
+    best_cut = cutsize_connectivity(net_indptr, pins, labels, k)
+    max_moves = max(64, n_cells // 4)
+    for _ in range(max(int(params.refine_rounds), 0)):
+        sizes = np.zeros(k, np.float64)
+        np.add.at(sizes, labels, cell_weights)
+        moved = _fm_round(
+            net_indptr, net_of, pins, cell_weights, labels, sizes, cap, k, max_moves
+        )
+        cut = cutsize_connectivity(net_indptr, pins, labels, k)
+        feasible = sizes.max() <= cap + 1e-9
+        if feasible and cut < best_cut:
+            best, best_cut = labels.copy(), cut
+        if moved == 0:
+            break
+    return best.astype(np.int32)
 
 
 class PatohPartition(Partitioner):

@@ -134,6 +134,55 @@ class TestPatohPartition:
             ni, pins, rand, 4
         )
 
+    def _tile_labels(self, g, k):
+        r, c = np.divmod(np.arange(g * g), g)
+        if k == 2:
+            return (c * 2) // g
+        if k == 4:
+            return ((r * 2) // g) * 2 + (c * 2) // g
+        return ((r * 2) // g) * 4 + (c * 4) // g  # k == 8: 2x4 tiles
+
+    @pytest.mark.parametrize("k", [2, 4, 8])
+    def test_anchor_grid_connectivity(self, k):
+        # VERDICT r3 item 6: gate against the analytic tiling's λ-1 cost
+        # (for adjacency column nets the tiling is the natural optimum
+        # certificate: only boundary-adjacent columns pay), same 2x
+        # tolerance as the graph-partition anchors.
+        g = grid_graph(16)
+        ni, pins, cw = column_net_hypergraph(g)
+        tile = self._tile_labels(16, k).astype(np.int32)
+        opt = cutsize_connectivity(ni, pins, tile, k)
+        part = PatohPartition(num_partitions=k, seed=0).partition(g)
+        fx.check_partition(part, g.nrows, k)
+        assert balance_ratio(np.asarray(part), k) <= 1.3
+        got = cutsize_connectivity(ni, pins, np.asarray(part), k)
+        assert got <= 2.0 * opt, (got, opt)
+
+    @pytest.mark.parametrize("k", [2, 4, 8])
+    def test_anchor_torus_connectivity(self, k):
+        g = torus_graph(16)
+        ni, pins, cw = column_net_hypergraph(g)
+        tile = self._tile_labels(16, k).astype(np.int32)
+        opt = cutsize_connectivity(ni, pins, tile, k)
+        part = PatohPartition(num_partitions=k, seed=0).partition(g)
+        fx.check_partition(part, g.nrows, k)
+        assert balance_ratio(np.asarray(part), k) <= 1.3
+        got = cutsize_connectivity(ni, pins, np.asarray(part), k)
+        assert got <= 2.0 * opt, (got, opt)
+
+    def test_anchor_vs_kway_clique_expansion(self, rng):
+        # independent cross-check: the graph k-way partitioner (which
+        # optimizes edge cut on the same CSR) evaluated on λ-1; the
+        # hypergraph partitioner optimizes λ-1 directly so it must be
+        # within 1.5x (and usually beats it)
+        g = random_graph(rng, n=96, avg_deg=5)
+        ni, pins, cw = column_net_hypergraph(g)
+        kway = np.asarray(MetisPartition(num_partitions=4, seed=0).partition(g))
+        part = np.asarray(PatohPartition(num_partitions=4, seed=0).partition(g))
+        got = cutsize_connectivity(ni, pins, part, 4)
+        ref = cutsize_connectivity(ni, pins, kway, 4)
+        assert got <= 1.5 * max(ref, 1), (got, ref)
+
     def test_hypergraph_object(self, tmp_path):
         from sparsebase_tpu.io import PatohReader
 
