@@ -18,9 +18,13 @@ Two companion ratios are reported alongside (BASELINE.md "Sort-aware
 primitive bound"): ``vs_spec_roofline`` keeps the spec-sheet
 denominator for continuity with rounds 1-2, and ``vs_primitive_bound``
 compares against the measured XLA-primitive composition bound for these
-semantics (stage sum ~= 15.7 ns/nnz => ~6.4e7 nnz/s; every alternative
-relocation/gather formulation measured slower — see tools/profile100.py,
-tools/probe_padded.py, tools/pallas_attempts.py).
+semantics. Round 4 lowered the bound by replacing the global boundary
+sort with the blocked-compaction indptr kernel (3.72 -> 2.97 ns/nnz):
+stage sum = pair gather 5.42 + sort2key 4.82 + indptr 2.97 + expand
+1.03 + rank 0.73 ~= 14.97 ns/nnz => ~6.7e7 nnz/s. Every alternative for
+each stage was measured slower (R4_TPU.json section A: blocked-y 853 vs
+cumsum 770 ms, segment-sum 1808; tools/profile100.py,
+tools/probe_padded.py, tools/pallas_attempts.py for the rest).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -37,7 +41,7 @@ import numpy as np
 SPEC_HBM_BYTES_PER_S = 819e9  # v5e spec sheet
 MEASURED_HBM_BYTES_PER_S = 198e9  # tools/probe_hbm.py, this chip, r3
 BYTES_PER_NNZ = 60.0
-PRIMITIVE_BOUND_NS_PER_NNZ = 15.7  # BASELINE.md sort-aware bound
+PRIMITIVE_BOUND_NS_PER_NNZ = 14.97  # BASELINE.md sort-aware bound (r4)
 TARGET_NNZ_S = 0.7 * MEASURED_HBM_BYTES_PER_S / BYTES_PER_NNZ  # ~2.31e9
 SPEC_TARGET_NNZ_S = 0.7 * SPEC_HBM_BYTES_PER_S / BYTES_PER_NNZ  # ~9.55e9
 PRIMITIVE_BOUND_NNZ_S = 1e9 / PRIMITIVE_BOUND_NS_PER_NNZ  # ~6.37e7

@@ -178,7 +178,9 @@ def coo_to_csr(coo: COO) -> CSR:
         counts = _bincount(xp, coo.row, coo.nrows, nnz_dtype)
         indptr = _indptr_from_counts(xp, counts, nnz_dtype)
     else:
-        indptr = indptr_from_sorted_rows(coo.row, coo.nrows, coo.nnz)
+        # round 4: blocked compaction (2.97 ns/nnz) beats the global
+        # boundary sort (3.72) on v5e — R4_TPU.json section A
+        indptr = indptr_from_sorted_rows_blocked(coo.row, coo.nrows, coo.nnz)
     return CSR(indptr, coo.col, coo.vals, coo.shape)
 
 

@@ -154,7 +154,11 @@ def preprocess_pipeline(coo: COO, x):
     idt = coo.row.dtype
 
     # -- COO→CSR (conversion) ------------------------------------------------
-    indptr = indptr_from_sorted_rows(coo.row, n, nnz)
+    # round 4: blocked-compaction indptr (2.97 ns/nnz measured vs 3.72
+    # for the global boundary sort — R4_TPU.json section A)
+    from ..convert.kernels import indptr_from_sorted_rows_blocked
+
+    indptr = indptr_from_sorted_rows_blocked(coo.row, n, nnz)
     degrees = indptr[1:] - indptr[:-1]
 
     # -- degree reorder (counting-sort rank; DegreeReorder parity) -----------
@@ -165,13 +169,14 @@ def preprocess_pipeline(coo: COO, x):
 
 
 def preprocess_pipeline_v2(coo: COO, x, *, block: int = 512, blocked_reduce: bool = True):
-    """:func:`preprocess_pipeline` with the round-4 blocked kernels:
-    ``indptr`` via per-block rowsort compaction
-    (:func:`~sparsebase_tpu.convert.kernels.indptr_from_sorted_rows_blocked`,
-    replacing the 3.7 ns/nnz global boundary sort) and the SpMV reduction
-    via the two-level blocked prefix (:func:`_row_sums_blocked`).
-    Bit-compatible structure output; y differs only by f32 summation
-    association."""
+    """Experimental variant of :func:`preprocess_pipeline` exposing the
+    block size and the two-level blocked SpMV reduction. Round-4 chip
+    measurements (R4_TPU.json): the blocked ``indptr`` wins (now the
+    default in :func:`preprocess_pipeline`); ``blocked_reduce`` LOSES to
+    the global cumsum (853 vs 770 ms y-branch at 100M nnz — its four
+    n-sized gathers cost more than the one 39 ms nnz cumsum), so the
+    default pipeline keeps cumsum. Kept for re-measurement on future
+    hardware. y differs from v1 only by f32 summation association."""
     from ..convert.kernels import indptr_from_sorted_rows_blocked
 
     n = coo.nrows
