@@ -48,6 +48,18 @@ from ..formats.base import Format, register_format, static_field
 from ..formats.csr import CSR
 
 
+def _host_fetch(a) -> np.ndarray:
+    """``device_get`` that also works in multi-process (DCN) runs, where
+    a P(axis)-sharded array spans non-addressable devices: fall back to
+    ``process_allgather`` (every process then holds the global value)."""
+    try:
+        return np.asarray(jax.device_get(a))
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
 @register_format
 @dataclasses.dataclass(frozen=True)
 class ShardedCSR(Format):
@@ -71,7 +83,7 @@ class ShardedCSR(Format):
 
     @property
     def nnz(self) -> int:
-        return int(np.asarray(jax.device_get(self.nnz_local)).sum())
+        return int(_host_fetch(self.nnz_local).sum())
 
     @property
     def n_shards(self) -> int:
@@ -101,7 +113,7 @@ class ShardedCSR(Format):
         proportional to the partition boundary, not to n."""
         if self.halo_counts is None:
             return 0
-        return 4 * int(np.asarray(jax.device_get(self.halo_counts)).sum())
+        return 4 * int(_host_fetch(self.halo_counts).sum())
 
     # -- construction --------------------------------------------------------
     @staticmethod
@@ -208,7 +220,7 @@ class ShardedCSR(Format):
         counts = _halo_counts_runner(mesh, self._axis, d, rows, width)(
             self.indices, self.nnz_local
         )
-        s = max(int(np.asarray(jax.device_get(counts)).max()), 1)  # (d,d) scalars only
+        s = max(int(_host_fetch(counts).max()), 1)  # (d,d) scalars only
         hs, hm = _halo_build_runner(mesh, self._axis, d, rows, width, s)(
             self.indices, self.nnz_local
         )
@@ -263,7 +275,7 @@ class ShardedCSR(Format):
             rowp0 = jnp.concatenate(
                 [jnp.asarray(row, jnp.int32), jnp.full((pad0,), n, jnp.int32)]
             )
-            mx = int(np.asarray(jax.device_get(counts_fn(rowp0)))[0])
+            mx = int(_host_fetch(counts_fn(rowp0)).reshape(-1)[0])
             cap = max(64, 1 << (max(mx, 1) - 1).bit_length())
 
         # pad the flat COO to d*e with sentinel rows (= n → routed to the
@@ -327,7 +339,7 @@ class ShardedCSR(Format):
             out_specs=(PartitionSpec(axis),) * 6,
         )
         ip, rr, cc, vv, cnt, overflow = fn(rowp, colp, valp)
-        if int(np.asarray(jax.device_get(overflow))[0]) > 0:
+        if int(_host_fetch(overflow).reshape(-1)[0]) > 0:
             raise ValueError(
                 "from_coo_sharded: routing bucket overflow — raise route_capacity "
                 f"(cap={cap})"

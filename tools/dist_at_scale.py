@@ -89,7 +89,7 @@ def main():
     res["padded_width_ratio_balanced"] = round(sh.padded_width_ratio(), 2)
 
     t0 = time.perf_counter()
-    sh = sh.with_halo(mesh)  # device halo builder at load-bearing size
+    sh = sh.with_halo()  # device halo builder at load-bearing size
     res["halo_build_s"] = round(time.perf_counter() - t0, 2)
     res["halo_bytes_per_exchange"] = int(sh.halo_bytes_per_exchange)
     res["dense_psum_bytes_per_step"] = 4 * n * 8

@@ -51,7 +51,7 @@ def make_graph():
     keys = np.unique(r2.astype(np.int64) * N + c2)
     row = (keys // N).astype(np.int32)
     col = (keys % N).astype(np.int32)
-    vals = rng.standard_normal(SEED_LEN := len(row)).astype(np.float32)
+    vals = rng.standard_normal(len(row)).astype(np.float32)
     return row, col, vals
 
 
@@ -69,14 +69,14 @@ def run_tier(mesh, row, col, vals, x, label):
         except Exception:
             from jax.experimental import multihost_utils
 
-            return np.asarray(multihost_utils.process_allgather(a, tiled=False))
+            return np.asarray(multihost_utils.process_allgather(a, tiled=True))
 
     t = {}
     t0 = time.perf_counter()
     sh = ShardedCSR.from_coo_sharded(row, col, vals, (N, N), mesh)
     t["ingest_s"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    sh = sh.with_halo(mesh)
+    sh = sh.with_halo()
     t["halo_build_s"] = round(time.perf_counter() - t0, 3)
 
     import jax.numpy as jnp
