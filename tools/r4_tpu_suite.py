@@ -231,6 +231,17 @@ def main():
         save("A", "structure_only_ns_per_nnz", round(t * per, 3))
         del coo, x, indptr
 
+    # ======================= Section D (headline, new defaults) ============
+    if "D" in sections:
+        nnz = int(nnz_m * 1e6)
+        n = max(nnz // 16, 1)
+        coo = gen_powerlaw(n, nnz)
+        x = jnp.ones((n,), jnp.float32)
+        t = timeit(jax.jit(preprocess_pipeline), coo, x, reps=5)
+        save("D", "headline_default_ns_per_nnz", round(t * 1e9 / nnz, 3))
+        save("D", "headline_default_nnz_per_s", round(nnz / t, 0))
+        del coo, x
+
     # ======================= Section B =====================================
     if "B" in sections:
         nnzB = int(min(nnz_m, 64.0) * 1e6)
@@ -549,6 +560,42 @@ def main():
             t = timeit(jax.jit(spmv_ell), ell, xC)
             save("C", f"{tag}.spmv_ell_ms", round(t * 1e3, 1))
             del csr, ell, ro
+
+    # ======================= Section E (device RCM retry, 16M) =============
+    if "E" in sections:
+        nnzE = int(min(nnz_m, 16.0) * 1e6)
+        nE = max(nnzE // 16, 1)
+        try:
+            from sparsebase_tpu.ops.reorder.rcm import _rcm_device
+
+            pl = gen_powerlaw(nE, nnzE, seed=3)
+            pl_csr = coo_to_csr(pl)
+            xE = jnp.ones((nE,), jnp.float32)
+            t0 = time.perf_counter()
+            ro_rcm = jax.jit(_rcm_device)(pl_csr).astype(jnp.int32)
+            sync(ro_rcm)
+            save("E", "rcm16_order_build_s", round(time.perf_counter() - t0, 1))
+
+            @jax.jit
+            def relabel(c, r):
+                return jax.lax.sort(
+                    (r[c.row], r[c.col], c.vals), num_keys=2, is_stable=False
+                )
+
+            rs, cs, vs = relabel(pl, ro_rcm)
+            csr_p = coo_to_csr(COO(rs, cs, vs, pl.shape))
+            t = timeit(
+                jax.jit(lambda c, xx: spmv_csr(c, xx, method="cumsum")), csr_p, xE
+            )
+            save("E", "rcm16_spmv_csr_ms", round(t * 1e3, 1))
+            csr_n = coo_to_csr(pl)
+            t = timeit(
+                jax.jit(lambda c, xx: spmv_csr(c, xx, method="cumsum")), csr_n, xE
+            )
+            save("E", "natural16_spmv_csr_ms", round(t * 1e3, 1))
+        except Exception as e:  # pragma: no cover
+            save("E", "rcm16_error", repr(e))
+
 
     save("meta", "finished", time.strftime("%Y-%m-%d %H:%M:%S"))
 
