@@ -215,6 +215,20 @@ def sort_by_pairs(xp, major, minor, *payload):
     """
     live = [p for p in payload if p is not None]
     if xp is np:
+        if not live and len(major) >= 1 << 16:
+            # pattern fast path: packed in-place native sort — no index
+            # payload, no apply-gathers (~2x argsort at 50M; r4 sweep)
+            try:
+                from ..io import fastio
+
+                res = fastio.sort_pairs_inplace(np.asarray(major), np.asarray(minor))
+            except Exception:
+                res = None
+            if res is not None:
+                mj, mn = res
+                outs2 = [mj.astype(major.dtype, copy=False),
+                         mn.astype(minor.dtype, copy=False)]
+                return tuple(outs2 + [None] * len(payload))
         order = None
         if len(major) >= 1 << 16:  # native parallel sort pays off
             try:

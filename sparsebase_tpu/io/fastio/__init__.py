@@ -82,6 +82,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.sbtpu_sort_packed.restype = ctypes.c_int64
+        lib.sbtpu_sort_packed.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.sbtpu_argsort_pairs.restype = ctypes.c_int64
         lib.sbtpu_argsort_pairs.argtypes = [
             ctypes.c_int64,
@@ -142,6 +148,26 @@ def parse_entries(
     if got < 0:
         raise OSError(f"fastio: cannot read {path}")
     return rows[:got], cols[:got], (vals[:got] if weighted else None)
+
+
+def sort_pairs_inplace(
+    major: np.ndarray, minor: np.ndarray
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Row-major sort of a PATTERN pair list — packed-u64 native sort
+    with no index payload and no apply-gathers (~2× the argsort path at
+    50M entries). Returns sorted int64 copies, or None when the native
+    library is unavailable or keys exceed u32 (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    mj = np.array(major, np.int64, copy=True)
+    mn = np.array(minor, np.int64, copy=True)
+    ok = lib.sbtpu_sort_packed(
+        len(mj),
+        mj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        mn.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return (mj, mn) if ok == 1 else None
 
 
 def argsort_pairs(major: np.ndarray, minor: np.ndarray) -> Optional[np.ndarray]:

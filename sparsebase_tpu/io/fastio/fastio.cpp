@@ -346,6 +346,40 @@ int64_t sbtpu_argsort_pairs(int64_t n, const void* major, const void* minor,
   return n;
 }
 
+// In-place row-major sort of a PATTERN pair list (no payload): pack the
+// (major, minor) u32 keys into one uint64, gnu-parallel-sort the packed
+// keys directly, unpack. Half the memory traffic of the (key, index)
+// argsort (8 B vs 16 B per element), no order array, and callers skip
+// the two apply-gathers — duplicates are bit-identical so stability is
+// unobservable. Returns 1 on success, 0 if keys don't fit u32 (caller
+// falls back to sbtpu_argsort_pairs).
+int64_t sbtpu_sort_packed(int64_t n, int64_t* major, int64_t* minor) {
+  if (n <= 0) return 1;
+  bool packable = true;
+#pragma omp parallel for reduction(&& : packable) schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    packable = packable && major[i] >= 0 && major[i] < (int64_t(1) << 32) &&
+               minor[i] >= 0 && minor[i] < (int64_t(1) << 32);
+  }
+  if (!packable) return 0;
+  std::vector<uint64_t> buf(static_cast<size_t>(n));
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    buf[i] = (static_cast<uint64_t>(major[i]) << 32) |
+             static_cast<uint32_t>(minor[i]);
+#ifdef _OPENMP
+  __gnu_parallel::sort(buf.begin(), buf.end());
+#else
+  std::sort(buf.begin(), buf.end());
+#endif
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    major[i] = static_cast<int64_t>(buf[i] >> 32);
+    minor[i] = static_cast<int64_t>(buf[i] & 0xffffffffu);
+  }
+  return 1;
+}
+
 int64_t sbtpu_read_file(const char* path, char* out, int64_t size) {
   Mapped m = map_file(path);
   if (!m.ok()) return -1;
