@@ -17,6 +17,22 @@ measurements (BENCH_local.md):
   grouping, block reorders) or ingesting padded directly — not for
   one-shot full permutations (tools/bench_ell_permute.py).
 
+Round-4 end-to-end amortization measurement (R4_TPU.json §C, 64M nnz —
+the crossover numbers for the "stays padded" story):
+
+* **padding 1.0** (uniform degree): masked SpMV 588 vs flat 718 ms
+  (1.22×), rows-only relayout ~151 vs ~314 ms (2.1×), a combined
+  relayout+SpMV step 739 vs 1032 ms — the 1.18 s entry scatter
+  amortizes after **k ≈ 4 relayouts**, after which every step is ~1.4×
+  flat.
+* **padding 2.44** (Poisson rows): the masked SpMV's extra padded-slot
+  gathers dominate (1496 vs 1029 ms/step) — ELL **loses outright**; no
+  crossover exists.
+
+Rule of thumb: stay padded when padding ≲ 1.3 (bounded-degree meshes,
+degree-grouped or serpentine-balanced layouts) and the pipeline applies
+≥4 row relayouts; otherwise keep the flat sort pipeline.
+
 Layout: ``cols[i, j]`` = j-th column id of row i (pad slots 0),
 ``vals[i, j]`` matching values (pad 0; ``None`` for pattern matrices),
 ``lens[i]`` = true row length. Rows whose degree exceeds the width

@@ -1055,7 +1055,48 @@ def multilevel_partition(
         labels = refine_partition(ladder[level], labels, k, mesh,
                                   rounds=refine_rounds, balance=balance,
                                   vertex_weights=weights[level])
-    return labels
+    return _enforce_balance(sh, labels, k, mesh, balance)
+
+
+def _enforce_balance(sh: ShardedCSR, labels, k: int, mesh: Mesh, balance: float):
+    """Final balance guarantee (the METIS ``ufactor`` contract): when
+    gain-driven refinement cannot reach feasibility — e.g. a zipf hub
+    cluster contracts into a coarse vertex heavier than the cap, so
+    every coarse labeling is infeasible and the projected fine labels
+    inherit the overload (observed at 1.8× on the 4M-nnz
+    DISTSCALE graph) — evict the lowest-degree members of over-cap parts
+    into the lightest parts until every part fits. Host post-pass on the
+    already-replicated (n,) output; low-degree eviction minimizes the
+    cut damage."""
+    import numpy as np
+
+    from .sharded import _host_fetch
+
+    n = sh.shape[0]
+    lab = _host_fetch(jnp.asarray(labels)).reshape(-1)[:n].copy()
+    cap = balance * n / k
+    sizes = np.bincount(lab, minlength=k).astype(np.int64)
+    if sizes.max() <= cap:
+        return jnp.asarray(lab)
+    from .dist import degrees as _dist_degrees
+
+    deg = _host_fetch(_dist_degrees(sh, mesh)).reshape(-1)[:n]
+    for p in np.argsort(-sizes):
+        excess = int(sizes[p] - np.floor(cap))
+        if excess <= 0:
+            continue
+        members = np.nonzero(lab == p)[0]
+        movers = members[np.argsort(deg[members], kind="stable")][:excess]
+        for v in movers:
+            if sizes[p] <= cap:
+                break
+            tgt = int(np.argmin(np.where(np.arange(k) == p, np.iinfo(np.int64).max, sizes)))
+            if sizes[tgt] + 1 > cap:
+                break  # nowhere to put it without overflowing the target
+            lab[v] = tgt
+            sizes[p] -= 1
+            sizes[tgt] += 1
+    return jnp.asarray(lab)
 
 
 # --------------------------------------------------------------------------

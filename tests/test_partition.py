@@ -357,6 +357,31 @@ class TestPartitionAnchors:
             fx.check_partition(labels, g.nrows, k)
             assert edge_cut(g, labels) <= 2.0 * optimal
 
+    def test_enforce_balance_restores_cap(self, rng):
+        # DISTSCALE r4 finding: a hub cluster can contract into a coarse
+        # vertex heavier than the cap, leaving every coarse labeling
+        # infeasible (observed balance 1.8 at 4M nnz); the final
+        # _enforce_balance pass must restore the ufactor contract.
+        import jax
+        import jax.numpy as jnp
+
+        from sparsebase_tpu.parallel import ShardedCSR, halo, make_mesh
+
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(8)
+        g = random_graph(rng, n=96, avg_deg=5)
+        sh = ShardedCSR.from_csr(g, mesh, halo=True)
+        k = 4
+        # grossly infeasible input: 80% of vertices in part 0
+        labels = np.where(np.arange(96) < 77, 0, np.arange(96) % k).astype(np.int32)
+        fixed = np.asarray(halo._enforce_balance(sh, jnp.asarray(labels), k, mesh, 1.1))
+        fx.check_partition(fixed, 96, k)
+        assert balance_ratio(fixed, k) <= 1.1 + 1e-6
+        # already-feasible labels pass through untouched
+        ok = (np.arange(96) % k).astype(np.int32)
+        same = np.asarray(halo._enforce_balance(sh, jnp.asarray(ok), k, mesh, 1.1))
+        np.testing.assert_array_equal(same, ok)
+
     def test_distributed_vcycle_vs_spectral(self, rng):
         import jax
 
