@@ -240,6 +240,32 @@ def partition_pipeline(coo: COO, x, k: int = 8, num_iters: int = 10):
 preprocess_pipeline_donating = jax.jit(preprocess_pipeline, donate_argnums=(0,))
 
 
+_SPMV_OP = None
+
+
+def spmv(fmt, x, context=None):
+    """Format-polymorphic SpMV with auto-conversion dispatch — the
+    user-facing capstone of the reorder→format payoff (tutorial 007):
+    CSR runs the cumsum/segment kernel, ELL the masked row sums, DIA
+    the gather-free banded kernel (30× CSR when admissible —
+    R4_TPU.json §B), and anything else (COO, CSC, ...) auto-converts
+    through the conversion graph, mirroring the reference's
+    FunctionMatcherMixin dispatch (function_matcher_mixin.h:335-416)."""
+    global _SPMV_OP
+    if _SPMV_OP is None:
+        from ..dispatch import Operation
+        from ..formats.dia import DIA
+        from ..formats.ell import ELL
+        from ..ops.kernels import banded_spmv
+
+        op = Operation("spmv")
+        op.register((CSR,), lambda f, p: spmv_csr(f[0], p))
+        op.register((ELL,), lambda f, p: spmv_ell(f[0], p))
+        op.register((DIA,), lambda f, p: banded_spmv(f[0], p))
+        _SPMV_OP = op
+    return _SPMV_OP.execute(x, fmt, context=context)
+
+
 def spmv_ell(ell, x):
     """Row-wise SpMV on the ELL (row-padded) layout: masked elementwise
     products + a row sum — no indptr machinery; the x-gather is the only

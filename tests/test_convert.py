@@ -245,6 +245,29 @@ class TestBlockedIndptr:
         np.testing.assert_allclose(np.asarray(ref_y), np.asarray(got_y), rtol=2e-5, atol=2e-5)
 
 
+class TestSpmvFacade:
+    """Format-polymorphic spmv() with auto-conversion (round 4)."""
+
+    def test_all_formats_agree(self, rng):
+        import scipy.sparse as sp
+
+        from sparsebase_tpu.convert.kernels import csr_to_dia, csr_to_ell
+        from sparsebase_tpu.formats.csc import CSC
+        from sparsebase_tpu.models.pipelines import spmv
+
+        n = 200
+        r = np.repeat(np.arange(n), 3)
+        c = np.clip(r + np.tile([-1, 0, 1], n), 0, n - 1).astype(np.int64)
+        v = rng.standard_normal(len(r)).astype(np.float32)
+        coo = fx_sorted_coo(r.astype(np.int64), c, v, n)
+        csr = coo.convert(CSR)
+        ref = sp.coo_matrix((v, (r, c)), shape=(n, n)).toarray()
+        x = rng.standard_normal(n).astype(np.float32)
+        for fmt in (csr, coo, csr.convert(CSC), csr_to_ell(csr), csr_to_dia(csr)):
+            y = np.asarray(spmv(fmt, x))
+            np.testing.assert_allclose(y, ref @ x, atol=1e-3, err_msg=str(type(fmt)))
+
+
 class TestBlockedRowSums:
     def test_matches_segment_sums(self, rng):
         import jax.numpy as jnp
