@@ -64,21 +64,42 @@ def banded_spmv(dia: DIA, x):
     return y
 
 
-def _kernel(offsets, pad_al, x_ref, data_ref, y_ref):
-    width = BLOCK + 2 * pad_al
-    i0 = pl.multiple_of(pl.program_id(0) * BLOCK, BLOCK)
+def _kernel(offsets, pad_al, block, x_ref, data_ref, y_ref):
+    width = block + 2 * pad_al
+    i0 = pl.multiple_of(pl.program_id(0) * block, block)
     window = x_ref[:, pl.ds(i0, width)]  # (1, width), aligned start
-    acc = jnp.zeros((1, BLOCK), jnp.float32)
+    acc = jnp.zeros((1, block), jnp.float32)
     for d, off in enumerate(offsets):  # static unroll
         # static (compile-time-constant) unaligned slice: Mosaic lowers
         # the lane shift itself
         s = pad_al + off
-        seg = window[:, s : s + BLOCK]
+        seg = window[:, s : s + block]
         acc = acc + data_ref[d, :].astype(jnp.float32)[None, :] * seg
     y_ref[:, :] = acc
 
 
-def banded_spmv_pallas(dia: DIA, x, interpret: bool | None = None):
+def _kernel_tiled(offsets, pad_al, block, x_ref, data_ref, y_ref):
+    """Same math as :func:`_kernel` but the band arrives as ONE
+    contiguous (1, k, block) tile (see the relayout in the caller) —
+    one DMA per program instead of k strided segments."""
+    width = block + 2 * pad_al
+    i0 = pl.multiple_of(pl.program_id(0) * block, block)
+    window = x_ref[:, pl.ds(i0, width)]
+    acc = jnp.zeros((1, block), jnp.float32)
+    for d, off in enumerate(offsets):
+        s = pad_al + off
+        seg = window[:, s : s + block]
+        acc = acc + data_ref[0, d, :].astype(jnp.float32)[None, :] * seg
+    y_ref[:, :] = acc
+
+
+def banded_spmv_pallas(
+    dia: DIA,
+    x,
+    interpret: bool | None = None,
+    block: int = BLOCK,
+    tiled: bool = True,
+):
     """y = A @ x via the Pallas kernel (defaults to interpreter off-TPU)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -87,7 +108,7 @@ def banded_spmv_pallas(dia: DIA, x, interpret: bool | None = None):
     k = dia.num_diagonals
     pad = max((abs(o) for o in offsets), default=0)
     pad_al = pl.cdiv(max(pad, 1), 128) * 128  # aligned window margin
-    n_pad = pl.cdiv(n, BLOCK) * BLOCK
+    n_pad = pl.cdiv(n, block) * block
 
     data = jnp.asarray(dia.data, jnp.float32)
     if n_pad != n:
@@ -100,15 +121,34 @@ def banded_spmv_pallas(dia: DIA, x, interpret: bool | None = None):
         x_f[: min(m, total - pad_al)]
     )
 
+    if tiled:
+        # band relayout (k, n_pad) -> (nb, k, block): each program's tile
+        # is one contiguous DMA instead of k strided 4·block-byte
+        # segments (measured 10.5 -> see R4 F section). One extra XLA
+        # stream pass, amortized into the same jit.
+        nb = n_pad // block
+        datab = data.reshape(k, nb, block).transpose(1, 0, 2)
+        y = pl.pallas_call(
+            functools.partial(_kernel_tiled, offsets, pad_al, block),
+            out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # full padded x resident
+                pl.BlockSpec((1, k, block), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block), lambda i: (0, i)),
+            interpret=interpret,
+        )(x_pad.reshape(1, -1), datab)
+        return y[0, :n]
     y = pl.pallas_call(
-        functools.partial(_kernel, offsets, pad_al),
+        functools.partial(_kernel, offsets, pad_al, block),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-        grid=(n_pad // BLOCK,),
+        grid=(n_pad // block,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full padded x resident
-            pl.BlockSpec((k, BLOCK), lambda i: (0, i)),
+            pl.BlockSpec((k, block), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((1, block), lambda i: (0, i)),
         interpret=interpret,
     )(x_pad.reshape(1, -1), data)
     return y[0, :n]
