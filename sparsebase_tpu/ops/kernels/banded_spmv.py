@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...formats.dia import DIA
 
-BLOCK = 512
+BLOCK = 4096  # best measured block on v5e (R4 followup F: 10.36 ms vs 12.07 at 512)
 
 
 def _static_offsets(dia: DIA):
@@ -98,7 +98,7 @@ def banded_spmv_pallas(
     x,
     interpret: bool | None = None,
     block: int = BLOCK,
-    tiled: bool = True,
+    tiled: bool = False,
 ):
     """y = A @ x via the Pallas kernel (defaults to interpreter off-TPU)."""
     if interpret is None:
@@ -124,8 +124,11 @@ def banded_spmv_pallas(
     if tiled:
         # band relayout (k, n_pad) -> (nb, k, block): each program's tile
         # is one contiguous DMA instead of k strided 4·block-byte
-        # segments (measured 10.5 -> see R4 F section). One extra XLA
-        # stream pass, amortized into the same jit.
+        # segments. MEASURED SLOWER on the real chip (R4 followup §F:
+        # 16.1-17.6 ms vs 10.8 strided at 64M/33 diagonals) — the 272 MB
+        # transpose pass costs more than the strided DMA overhead it
+        # removes; kept measurable for band data that is ALREADY stored
+        # tiled (where the kernel itself would win).
         nb = n_pad // block
         datab = data.reshape(k, nb, block).transpose(1, 0, 2)
         y = pl.pallas_call(

@@ -72,7 +72,12 @@ def main():
     interp = jax.default_backend() != "tpu"
     for tiled in (False, True):
         tag = "tiled" if tiled else "strided"
-        for block in (512, 1024, 2048, 4096, 8192):
+        blocks = (
+            (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+            if not tiled
+            else (2048, 8192)
+        )
+        for block in blocks:
             try:
                 f = jax.jit(
                     lambda d, xx, b=block, tl=tiled: banded_spmv_pallas(
