@@ -65,6 +65,8 @@ def banded_spmv(dia: DIA, x):
 
 
 def _kernel(offsets, pad_al, block, x_ref, data_ref, y_ref):
+    # band values may arrive bf16 (half the strided-read bytes — the
+    # kernel's measured limiter); products accumulate in f32 regardless
     width = block + 2 * pad_al
     i0 = pl.multiple_of(pl.program_id(0) * block, block)
     window = x_ref[:, pl.ds(i0, width)]  # (1, width), aligned start
@@ -110,7 +112,12 @@ def banded_spmv_pallas(
     pad_al = pl.cdiv(max(pad, 1), 128) * 128  # aligned window margin
     n_pad = pl.cdiv(n, block) * block
 
-    data = jnp.asarray(dia.data, jnp.float32)
+    # keep a bf16 band as bf16 (halves the strided reads — the measured
+    # limiter); everything else promotes to f32. Accumulation is f32
+    # either way.
+    data = jnp.asarray(dia.data)
+    if data.dtype != jnp.bfloat16:
+        data = data.astype(jnp.float32)
     if n_pad != n:
         data = jnp.pad(data, ((0, 0), (0, n_pad - n)))
     x_f = jnp.asarray(x, jnp.float32)

@@ -100,6 +100,21 @@ class TestBandedSpMV:
             ref = np.asarray(dia_spmv_reference(dia, x))
             np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-3)
 
+    def test_pallas_bf16_band(self, rng):
+        # bf16 band values, f32 accumulate (the strided-read saver)
+        import jax.numpy as jnp
+
+        n = 513
+        csr = tridiag(n)
+        dia = csr_to_dia(csr).astype(jnp.bfloat16)
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(banded_spmv_pallas(dia, x))
+        ref = np.asarray(dia_spmv_reference(csr_to_dia(csr), x))
+        # bf16 mantissa is 8 bits: error scales with the result magnitude
+        np.testing.assert_allclose(
+            y, ref, rtol=2e-2, atol=2e-2 * max(1.0, float(np.abs(ref).max()))
+        )
+
     def test_pallas_wide_band(self, rng):
         n = 640
         dense = np.zeros((n, n), np.float32)

@@ -90,6 +90,22 @@ def main():
             except Exception as e:
                 save(f"pallas_{tag}_block{block}_error", repr(e)[:300])
 
+    # bf16 band: halves the strided reads (f32 accumulate); tolerance is
+    # relative since products round to bf16 precision
+    data16 = data.astype(jnp.bfloat16)
+    for block in (2048, 4096, 8192):
+        try:
+            f = jax.jit(
+                lambda d, xx, b=block: banded_spmv_pallas(
+                    DIA(offc, d, shp), xx, interpret=interp, block=b
+                )
+            )
+            t, got = timeit(f, data16, x)
+            assert abs(got - ref) < 2e-2 * max(abs(ref), 1.0), (got, ref)
+            save(f"pallas_bf16_block{block}_ms", round(t * 1e3, 2))
+        except Exception as e:
+            save(f"pallas_bf16_block{block}_error", repr(e)[:300])
+
     # stream roofline reference: bytes = data (k*n*4) + x + y
     gb = (k * n * 4 + 2 * n * 4) / 1e9
     save("stream_gb", round(gb, 3))
