@@ -175,6 +175,30 @@ def run(device: bool = False):
                 "random_cut": edge_cut(g, rand),
                 "balance": round(balance_ratio(part, k), 3),
             }
+        # hypergraph (column-net) quality: connectivity-1, the PaToH
+        # objective (anchored in round 4 — tests/test_partition.py)
+        from .ops.partition.hypergraph import (
+            PatohPartition,
+            column_net_hypergraph,
+            cutsize_connectivity,
+        )
+
+        ni, pins, cw = column_net_hypergraph(g)
+        k = 4
+        t0 = time.perf_counter()
+        hp = np.asarray(PatohPartition(num_partitions=k).partition(g))
+        wsizes = np.bincount(hp, weights=cw, minlength=k)
+        entry["hypergraph_k4"] = {
+            "seconds": round(time.perf_counter() - t0, 3),
+            "connectivity_minus_1": int(cutsize_connectivity(ni, pins, hp, k)),
+            "random": int(
+                cutsize_connectivity(
+                    ni, pins, rng.integers(0, k, g.nrows).astype(np.int32), k
+                )
+            ),
+            # PaToH balances cell WEIGHT (= degrees), not vertex count
+            "balance": round(float(wsizes.max() / (cw.sum() / k)), 3),
+        }
         results[name] = entry
     return results
 
@@ -297,6 +321,14 @@ def to_markdown(results) -> str:
             lines.append(
                 f"| {kname[1:]} | {p['edge_cut']} | {p['random_cut']} | {p['balance']} |"
             )
+        if "hypergraph_k4" in e:
+            h = e["hypergraph_k4"]
+            lines += [
+                "",
+                "| hypergraph k=4 | λ−1 | random λ−1 | balance |",
+                "|---|---|---|---|",
+                f"| column-net | {h['connectivity_minus_1']} | {h['random']} | {h['balance']} |",
+            ]
         lines.append("")
     return "\n".join(lines)
 

@@ -31,7 +31,7 @@ sys.path.insert(0, str(REPO))
 
 import numpy as np
 
-N = 4096
+N = int(os.environ.get("MULTIPROC_N", 4096))
 AVG_DEG = 8
 SEED = 42
 OUT = REPO / "MULTIPROC_r04.json"
