@@ -79,6 +79,24 @@ class ReorderBase:
         )
 
     @staticmethod
+    def permute2d_cached(order, fmt, context=None):
+        """(Permute2DCached, reorder_base.h:196-…): returns
+        ``(intermediates, permuted)`` — the conversions actually run."""
+        from .ops.permute import PermuteOrderTwo
+
+        return PermuteOrderTwo(order, order).get_permutation_cached(
+            fmt, context=context
+        )
+
+    @staticmethod
+    def permute1d_cached(order, arr, context=None):
+        """(Permute1DCached, reorder_base.h:624-…)."""
+        from .ops.permute import PermuteOrderOne
+
+        op = PermuteOrderOne(order)
+        return op.execute_cached(op.params, arr, context=context)
+
+    @staticmethod
     def permute2d_rowwise(order, fmt, context=None, convert_input=True):
         from .ops.permute import PermuteOrderTwo
 

@@ -176,6 +176,18 @@ def load_csc(file_names):
     return csr_to_csc(IOBase.read_mtx_to_csr(file_names[0]))
 
 
+def load_format(fmt_cls):
+    """Generic loader factory: read MTX then convert to any registered
+    format class (experiment_helper.h LoadFormat<T>)."""
+
+    def fn(file_names):
+        from .bases import IOBase
+
+        return IOBase.read_mtx_to_csr(file_names[0]).convert(fmt_cls)
+
+    return fn
+
+
 def pass_preprocess(data, fparams, pparams):
     """Identity preprocess (experiment_helper.h Pass)."""
     return data

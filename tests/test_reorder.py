@@ -326,3 +326,21 @@ class TestReorderBaseFacade:
         converted, order = ReorderBase.reorder_cached(DegreeReorder, fx.make_coo())
         assert isinstance(converted[0], CSR)
         fx.check_reorder(np.asarray(order), fx.N)
+
+    def test_permute2d_cached(self):
+        # Permute2DCached parity (reorder_base.h:196): returns the
+        # conversions actually run + the permuted format
+        order = np.arange(fx.N)[::-1].copy()
+        inter, out = ReorderBase.permute2d_cached(order, fx.make_csr())
+        assert isinstance(out, CSR)
+        direct = ReorderBase.permute2d(order, fx.make_csr())
+        np.testing.assert_array_equal(np.asarray(out.indptr), np.asarray(direct.indptr))
+        np.testing.assert_array_equal(np.asarray(out.indices), np.asarray(direct.indices))
+
+    def test_permute1d_cached(self):
+        from sparsebase_tpu.formats.array import DenseArray
+
+        order = np.array([2, 0, 1])
+        inter, out = ReorderBase.permute1d_cached(order, DenseArray.new(np.array([10.0, 20.0, 30.0])))
+        # order[old] = new: element 0 -> slot 2, 1 -> 0, 2 -> 1
+        np.testing.assert_array_equal(np.asarray(out.vals), [20.0, 30.0, 10.0])
