@@ -97,7 +97,9 @@ def _row_sums_blocked(prod, indptr, n, block: int = 512):
     return run_at(indptr[1:]) - run_at(indptr[:-1])
 
 
-def _permute_and_spmv(coo: COO, indptr, degrees, ro, x, *, blocked_reduce: bool = False):
+def _permute_and_spmv(
+    coo: COO, indptr, degrees, ro, x, *, blocked_reduce: bool = False, perm=None
+):
     """Shared pipeline tail: given an inverse permutation ``ro`` (and the
     CSR structure of the input), apply the symmetric permutation with the
     measured-optimal op mix (one fused pair gather + one 2-key sort) and
@@ -125,14 +127,25 @@ def _permute_and_spmv(coo: COO, indptr, degrees, ro, x, *, blocked_reduce: bool 
     else:
         run = jnp.concatenate([jnp.zeros((1,), prod.dtype), jnp.cumsum(prod)])
         y_old = run[indptr[1:]] - run[indptr[:-1]]
-    y = jnp.zeros((n,), prod.dtype).at[ro].set(y_old)  # y[ro[i]] = (A@x)[i]
+    # perm (forward permutation) turns the two n-sized scatters below
+    # into gathers — MEASURED SLOWER in the composed pipeline (R4_TPU_d2/
+    # d3.json: 18.5 vs 17.7 ns/nnz at 100M; the unique-index permutation
+    # scatter fuses better than the extra gather chain), so callers leave
+    # perm=None; the path stays for re-measurement on other hardware.
+    if perm is not None:
+        y = y_old[perm]  # y[new] = (A@x)[perm[new]]
+    else:
+        y = jnp.zeros((n,), prod.dtype).at[ro].set(y_old)  # y[ro[i]] = (A@x)[i]
 
     # -- permutation: relabel + one 2-key sort --------------------------------
     new_row = expand_row_table(ro, indptr, nnz, out_dtype=idt)
     _, col_s, vals_s = jax.lax.sort(
         (new_row, new_col, vals), num_keys=2, is_stable=False
     )
-    counts_new = jnp.zeros((n,), indptr.dtype).at[ro].set(degrees)
+    if perm is not None:
+        counts_new = degrees[perm]
+    else:
+        counts_new = jnp.zeros((n,), indptr.dtype).at[ro].set(degrees)
     new_indptr = jnp.concatenate(
         [jnp.zeros((1,), indptr.dtype), jnp.cumsum(counts_new).astype(indptr.dtype)]
     )
