@@ -204,7 +204,7 @@ def lexsort_pairs(xp, major, minor):
     return order1[order2]
 
 
-def sort_by_pairs(xp, major, minor, *payload):
+def sort_by_pairs(xp, major, minor, *payload, stable_payload: bool = True):
     """Sort entries by (major, minor), carrying payload arrays along.
 
     Returns ``(major_sorted, minor_sorted, *payload_sorted)``. Device path
@@ -212,9 +212,41 @@ def sort_by_pairs(xp, major, minor, *payload):
     sort instead of two stable argsorts plus per-array gathers (the
     argsort formulation costs ~3x more on TPU). ``None`` payload entries
     pass through as ``None``.
+
+    ``stable_payload=False`` permits unstable payload order among
+    duplicate (major, minor) coordinates — callers with accumulation
+    semantics (readers) use it to unlock the native struct-sort fast
+    path for weighted entries (no index argsort, no apply-gathers).
     """
     live = [p for p in payload if p is not None]
     if xp is np:
+        if (
+            not stable_payload
+            and len(live) == 1
+            and len(major) >= 1 << 16
+            and np.issubdtype(np.asarray(live[0]).dtype, np.floating)
+        ):
+            try:
+                from ..io import fastio
+
+                res = fastio.sort_pairs_weighted_inplace(
+                    np.asarray(major), np.asarray(minor), np.asarray(live[0])
+                )
+            except Exception:
+                res = None
+            if res is not None:
+                mj, mn, vv = res
+                out = [
+                    mj.astype(major.dtype, copy=False),
+                    mn.astype(minor.dtype, copy=False),
+                ]
+                result2 = []
+                for p in payload:
+                    if p is None:
+                        result2.append(None)
+                    else:
+                        result2.append(vv.astype(np.asarray(p).dtype, copy=False))
+                return tuple(out + result2)
         if not live and len(major) >= 1 << 16:
             # pattern fast path: packed in-place native sort — no index
             # payload, no apply-gathers (~2x argsort at 50M; r4 sweep)

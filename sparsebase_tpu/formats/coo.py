@@ -34,7 +34,10 @@ class COO(Format):
     order = 2
 
     @staticmethod
-    def new(row, col, vals=None, shape=None, *, sort: bool = True) -> "COO":
+    def new(
+        row, col, vals=None, shape=None, *, sort: bool = True,
+        stable_payload: bool = True,
+    ) -> "COO":
         if shape is None:
             shape = (
                 int(np.asarray(row).max(initial=-1)) + 1,
@@ -45,7 +48,7 @@ class COO(Format):
         if sort and not isinstance(row, jax.core.Tracer):
             if not coo.is_sorted():
                 _log.warning("COO arrays not sorted row-major; sorting.")
-                coo = coo.sort_rowmajor()
+                coo = coo.sort_rowmajor(stable_payload=stable_payload)
         return coo
 
     @property
@@ -81,11 +84,16 @@ class COO(Format):
         ok = (r1 > r0) | ((r1 == r0) & (c1 >= c0))
         return bool(xp.all(ok))
 
-    def sort_rowmajor(self) -> "COO":
+    def sort_rowmajor(self, stable_payload: bool = True) -> "COO":
+        # stable_payload=False: readers/ingest (accumulation semantics)
+        # unlock the native weighted struct sort — duplicate-coordinate
+        # payload order is unobservable once accumulated
         from ..convert.kernels import sort_by_pairs
 
         xp = xp_for(self.row, self.col)
-        row, col, vals = sort_by_pairs(xp, self.row, self.col, self.vals)
+        row, col, vals = sort_by_pairs(
+            xp, self.row, self.col, self.vals, stable_payload=stable_payload
+        )
         return dataclasses.replace(self, row=row, col=col, vals=vals)
 
     def astype(self, id_dtype=None, nnz_dtype=None, value_dtype=None) -> "COO":

@@ -88,6 +88,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.sbtpu_sort_packed_weighted.restype = ctypes.c_int64
+        lib.sbtpu_sort_packed_weighted.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         lib.sbtpu_argsort_pairs.restype = ctypes.c_int64
         lib.sbtpu_argsort_pairs.argtypes = [
             ctypes.c_int64,
@@ -168,6 +175,27 @@ def sort_pairs_inplace(
         mn.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return (mj, mn) if ok == 1 else None
+
+
+def sort_pairs_weighted_inplace(major, minor, vals):
+    """Row-major sort of a weighted entry list: (packed-u64 key, f64
+    value) structs sorted by key — the value rides the native sort, so
+    no index argsort and no apply-gathers. Returns sorted (int64, int64,
+    float64) copies or None (unavailable / keys exceed u32). Unstable
+    ties are unobservable (duplicate coordinates accumulate)."""
+    lib = _load()
+    if lib is None:
+        return None
+    mj = np.array(major, np.int64, copy=True)
+    mn = np.array(minor, np.int64, copy=True)
+    vv = np.array(vals, np.float64, copy=True)
+    ok = lib.sbtpu_sort_packed_weighted(
+        len(mj),
+        mj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        mn.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return (mj, mn, vv) if ok == 1 else None
 
 
 def argsort_pairs(major: np.ndarray, minor: np.ndarray) -> Optional[np.ndarray]:

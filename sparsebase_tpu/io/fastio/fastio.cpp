@@ -380,6 +380,44 @@ int64_t sbtpu_sort_packed(int64_t n, int64_t* major, int64_t* minor) {
   return 1;
 }
 
+// Weighted variant: sort (packed u64 key, f64 value) structs by key in
+// place — the value rides the sort, so callers skip the (key, index)
+// argsort AND the three apply-gathers. Unstable ties are unobservable
+// (duplicate coordinates accumulate). Returns 1, or 0 if keys exceed
+// u32 (caller falls back to argsort).
+int64_t sbtpu_sort_packed_weighted(int64_t n, int64_t* major, int64_t* minor,
+                                   double* vals) {
+  if (n <= 0) return 1;
+  bool packable = true;
+#pragma omp parallel for reduction(&& : packable) schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    packable = packable && major[i] >= 0 && major[i] < (int64_t(1) << 32) &&
+               minor[i] >= 0 && minor[i] < (int64_t(1) << 32);
+  }
+  if (!packable) return 0;
+  using P = std::pair<uint64_t, double>;
+  std::vector<P> buf(static_cast<size_t>(n));
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    buf[i] = {(static_cast<uint64_t>(major[i]) << 32) |
+                  static_cast<uint32_t>(minor[i]),
+              vals[i]};
+#ifdef _OPENMP
+  __gnu_parallel::sort(buf.begin(), buf.end(),
+                       [](const P& a, const P& b) { return a.first < b.first; });
+#else
+  std::sort(buf.begin(), buf.end(),
+            [](const P& a, const P& b) { return a.first < b.first; });
+#endif
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    major[i] = static_cast<int64_t>(buf[i].first >> 32);
+    minor[i] = static_cast<int64_t>(buf[i].first & 0xffffffffu);
+    vals[i] = buf[i].second;
+  }
+  return 1;
+}
+
 int64_t sbtpu_read_file(const char* path, char* out, int64_t size) {
   Mapped m = map_file(path);
   if (!m.ok()) return -1;

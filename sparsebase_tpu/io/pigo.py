@@ -104,7 +104,9 @@ class PigoMTXReader(MTXReader):
                     else vals[keep]
                 )
                 vals = np.concatenate([vals, mirror])
-        return COO.new(row, col, vals, shape=(nrows, ncols))
+        # accumulation semantics: duplicate-coordinate payload order is
+        # unobservable, so the unstable native struct sort is safe here
+        return COO.new(row, col, vals, shape=(nrows, ncols), stable_payload=False)
 
     def _read_numeric(self):
         # complex bodies have 4 (coordinate) / 2 (array) value tokens per
