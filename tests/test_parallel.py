@@ -293,6 +293,28 @@ class TestBalancedSharding:
         assert sh1.padded_width_ratio() <= 2.0  # the item-3 criterion
         assert sh1.nnz == csr.nnz
 
+    def test_host_fetch_allgather_fallback(self, mesh, monkeypatch):
+        # multihost runs raise RuntimeError from device_get on
+        # non-addressable shards; _host_fetch must fall back to
+        # process_allgather (MULTIPROC r4). Simulate the raise.
+        import jax
+
+        from sparsebase_tpu.parallel import sharded as sh_mod
+
+        x = jax.device_put(
+            np.arange(16, dtype=np.int32),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("x")),
+        )
+        direct = sh_mod._host_fetch(x)
+        np.testing.assert_array_equal(direct, np.arange(16))
+
+        def boom(_):
+            raise RuntimeError("spans non-addressable devices")
+
+        monkeypatch.setattr(jax, "device_get", boom)
+        fallback = sh_mod._host_fetch(x)
+        np.testing.assert_array_equal(np.asarray(fallback).reshape(-1), np.arange(16))
+
     def test_tail_alignment_when_n_not_divisible(self):
         # n % d != 0: dealt blocks must coincide with the fixed
         # ceil(n/d) shard boundaries (ADVICE r3: the old rank compaction
