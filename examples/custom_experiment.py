@@ -27,6 +27,17 @@ def spmv(data, fparams, pparams, kparams):
     return out
 
 
+def spmv_facade(data, fparams, pparams, kparams):
+    """Format-polymorphic spmv() (the reference example's multi-kernel
+    sweep analogue: same data, different kernel implementations)."""
+    import numpy as np
+
+    from sparsebase_tpu.models.pipelines import spmv as spmv_poly
+
+    x = np.ones(data.ncols, np.float32)
+    return np.asarray(spmv_poly(data, x))
+
+
 def main():
     args = parse_args(__doc__)
     exp = ConcreteExperiment(warmup=0)
@@ -35,6 +46,7 @@ def main():
     exp.add_preprocess("degree", reorder_csr(DegreeReorder))
     exp.add_preprocess("rcm", reorder_csr(RCMReorder))
     exp.add_kernel("spmv", spmv)
+    exp.add_kernel("spmv_facade", spmv_facade)
     exp.run(times=3)
     for key, secs in sorted(exp.get_run_times().items()):
         print(f"{secs * 1e3:8.3f} ms  {key}")
