@@ -16,6 +16,12 @@ B. The reorder→kernel payoff (the reference's only published benchmark
    banded and a power-law graph, across CSR / ELL / DIA formulations.
 C. ELL amortization: per-step cost of rows-only relayout + SpMV on ELL
    vs flat CSR, entry cost, crossover k.
+D. Headline re-measure with the current default pipeline.
+E. Device-RCM retry at <=16M nnz (the 64M program hits a TPU kernel
+   fault) + its SpMV payoff datum.
+
+Section F (DIA kernel tuning) lives in tools/probe_dia.py, appending to
+R4_TPU_followup.json.
 
 Usage: python tools/r4_tpu_suite.py [sections] [nnz_M]
   sections: string like "ABC" (default) — which sections to run.
