@@ -183,6 +183,36 @@ class TestPatohPartition:
         ref = cutsize_connectivity(ni, pins, kway, 4)
         assert got <= 1.5 * max(ref, 1), (got, ref)
 
+    def test_fuzz_random_hypergraphs(self, rng):
+        # FM refinement robustness: random hypergraphs via the object
+        # path must yield valid labelings that beat random on λ-1
+        from sparsebase_tpu.ops.partition.hypergraph import hypergraph_label_prop
+
+        for seed in range(4):
+            r = np.random.default_rng(seed)
+            n_cells = int(r.integers(10, 120))
+            n_nets = int(r.integers(5, 80))
+            pins_per = r.integers(1, 6, n_nets)
+            ni = np.concatenate([[0], np.cumsum(pins_per)]).astype(np.int64)
+            pins = r.integers(0, n_cells, int(pins_per.sum())).astype(np.int64)
+            cw = r.uniform(0.5, 3.0, n_cells)
+            from sparsebase_tpu.ops.partition.hypergraph import (
+                PatohPartitionParams,
+                cutsize_connectivity,
+            )
+
+            k = int(r.integers(2, 5))
+            labels = hypergraph_label_prop(
+                ni, pins, cw, PatohPartitionParams(num_partitions=k)
+            )
+            assert labels.shape == (n_cells,)
+            assert labels.min() >= 0 and labels.max() < k
+            got = cutsize_connectivity(ni, pins, labels, k)
+            rnd = cutsize_connectivity(
+                ni, pins, r.integers(0, k, n_cells).astype(np.int32), k
+            )
+            assert got <= max(rnd, 1)
+
     def test_hypergraph_object(self, tmp_path):
         from sparsebase_tpu.io import PatohReader
 

@@ -8,6 +8,7 @@ Usage: python tools/probe_dia.py [nnz_M=64] [--cpu]
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -16,7 +17,11 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import numpy as np
 
-OUT = Path(__file__).parent.parent / "R4_TPU_followup.json"
+OUT = Path(
+    os.environ.get(
+        "R4_TPU_OUT", Path(__file__).parent.parent / "R4_TPU_followup.json"
+    )
+)
 
 
 def main():

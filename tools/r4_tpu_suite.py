@@ -28,6 +28,7 @@ Usage: python tools/r4_tpu_suite.py [sections] [nnz_M]
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -36,7 +37,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import numpy as np
 
-OUT = Path(__file__).parent.parent / "R4_TPU.json"
+OUT = Path(os.environ.get("R4_TPU_OUT", Path(__file__).parent.parent / "R4_TPU.json"))
 RESULTS = {}
 
 
