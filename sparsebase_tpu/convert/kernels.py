@@ -424,10 +424,15 @@ def csr_to_ell(csr: CSR, width=None):
 
     # Match the numpy path: a caller-supplied width below the max row
     # degree is an error, not silent truncation (lens=deg would overcount
-    # nnz and ell_to_csr would index past the row). CSR<->ELL edges are
-    # eager (static shapes are data-dependent), so the host sync is fine.
-    if n > 0 and int(np.asarray(deg.max())) > width:
-        raise ValueError(f"csr_to_ell: width {width} < max degree")
+    # nnz and ell_to_csr would index past the row). The check needs a
+    # host sync, so it only runs eagerly; under a jit trace (legal when
+    # the caller supplies an explicit width — shapes stay static) the
+    # caller takes responsibility for width >= max degree.
+    import jax
+
+    if n > 0 and not isinstance(deg, jax.core.Tracer):
+        if int(np.asarray(deg.max())) > width:
+            raise ValueError(f"csr_to_ell: width {width} < max degree")
     pos = jnp.arange(csr.nnz, dtype=jnp.int32) - expand_row_table(
         csr.indptr[:-1], csr.indptr, csr.nnz, out_dtype=jnp.int32
     )

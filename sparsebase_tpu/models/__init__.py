@@ -5,7 +5,17 @@ from .pipelines import (
     preprocess_pipeline,
     preprocess_pipeline_donating,
     rcm_pipeline,
+    spmv,
     spmv_csr,
+    spmv_ell,
 )
 
-__all__ = ["preprocess_pipeline", "preprocess_pipeline_donating", "spmv_csr"]
+__all__ = [
+    "partition_pipeline",
+    "preprocess_pipeline",
+    "preprocess_pipeline_donating",
+    "rcm_pipeline",
+    "spmv",
+    "spmv_csr",
+    "spmv_ell",
+]

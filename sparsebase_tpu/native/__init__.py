@@ -88,7 +88,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sbtpu_rabbit.argtypes = [ctypes.c_int64, _I64P, _I64P, _I64P]
         lib.sbtpu_amd.restype = ctypes.c_int64
         lib.sbtpu_amd.argtypes = [
-            ctypes.c_int64, _I64P, _I64P, ctypes.c_double, _I64P,
+            ctypes.c_int64, _I64P, _I64P, ctypes.c_double, ctypes.c_int64,
+            _I64P,
         ]
         lib.sbtpu_partition_kway.restype = ctypes.c_int64
         lib.sbtpu_partition_kway.argtypes = [
@@ -175,14 +176,14 @@ def rabbit(n, indptr, indices) -> np.ndarray:
     return out
 
 
-def amd(n, indptr, indices, dense_threshold) -> np.ndarray:
+def amd(n, indptr, indices, dense_threshold, aggressive=True) -> np.ndarray:
     lib = _load()
     ip, ix = _csr64(indptr, indices)
     out = np.empty(n, np.int64)
     thr = float(dense_threshold) if np.isfinite(dense_threshold) else 1e300
     rc = lib.sbtpu_amd(
         n, ip.ctypes.data_as(_I64P), ix.ctypes.data_as(_I64P), thr,
-        out.ctypes.data_as(_I64P),
+        int(bool(aggressive)), out.ctypes.data_as(_I64P),
     )
     if rc != 0:
         raise RuntimeError("graphkit amd failed")

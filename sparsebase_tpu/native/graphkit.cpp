@@ -545,9 +545,14 @@ int64_t sbtpu_rabbit(int64_t n, const int64_t* indptr, const int64_t* indices,
 
 namespace {
 
-// core AMD on a symmetric dedup adjacency (sp/sc); writes inv perm
+// core AMD on a symmetric dedup adjacency (sp/sc); writes inv perm.
+// aggressive gates AMD's aggressive element absorption (amd_reorder.h:27):
+// when off, an element whose list is contained in the new pivot list
+// (w == 0) stays alive — it contributes 0 external weight this round but
+// keeps its slot in E lists / coalescing signatures, matching
+// SuiteSparse AMD's non-aggressive mode semantics.
 void amd_core(int64_t n, const vector<int64_t>& sp, const vector<int64_t>& sc,
-              double dense_threshold, int64_t* out_inv) {
+              double dense_threshold, int aggressive, int64_t* out_inv) {
   if (n <= 0) return;
   vector<vector<int64_t>> A(n);  // variable adjacency (pruned lazily)
   for (int64_t u = 0; u < n; ++u) {
@@ -684,8 +689,11 @@ void amd_core(int64_t n, const vector<int64_t>& sp, const vector<int64_t>& sc,
           if (!ealive[e]) continue;
           int64_t we = (wstamp[e] == gen) ? w[e] : lsize[e];
           if (we <= 0) {
-            ealive[e] = 0;  // L[e] ⊆ Lp: absorb into ep
-            continue;
+            if (aggressive) {
+              ealive[e] = 0;  // L[e] ⊆ Lp: absorb into ep
+              continue;
+            }
+            we = 0;  // non-aggressive: keep the element, zero weight
           }
           ei[k2++] = e;
           e_ext += we;
@@ -772,11 +780,12 @@ void amd_core(int64_t n, const vector<int64_t>& sp, const vector<int64_t>& sc,
 }  // namespace
 
 int64_t sbtpu_amd(int64_t n, const int64_t* indptr, const int64_t* indices,
-                  double dense_threshold, int64_t* out_inv) {
+                  double dense_threshold, int64_t aggressive,
+                  int64_t* out_inv) {
   if (n <= 0) return 0;
   vector<int64_t> sp, sc;
   symmetrize_dedup(n, indptr, indices, sp, sc);
-  amd_core(n, sp, sc, dense_threshold, out_inv);
+  amd_core(n, sp, sc, dense_threshold, (int)aggressive, out_inv);
   return 0;
 }
 
@@ -1426,7 +1435,7 @@ void nd_recurse(NDContext& ctx, vector<int64_t> verts, int depth) {
   if (m <= ctx.leaf_size || depth > 120) {
     nd_subgraph(ctx, verts, sip, six);
     vector<int64_t> inv(m);
-    amd_core(m, sip, six, 1e300, inv.data());
+    amd_core(m, sip, six, 1e300, 1, inv.data());
     // emit in elimination order: result slot (cursor + inv[i]) = verts[i]
     for (int64_t i = 0; i < m; ++i) ctx.result[ctx.cursor + inv[i]] = verts[i];
     ctx.cursor += m;
@@ -1468,7 +1477,7 @@ void nd_recurse(NDContext& ctx, vector<int64_t> verts, int depth) {
   }
   if (left.empty() || right.empty()) {
     vector<int64_t> inv(m);
-    amd_core(m, sip, six, 1e300, inv.data());
+    amd_core(m, sip, six, 1e300, 1, inv.data());
     for (int64_t i = 0; i < m; ++i) ctx.result[ctx.cursor + inv[i]] = verts[i];
     ctx.cursor += m;
     return;

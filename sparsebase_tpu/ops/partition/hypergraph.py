@@ -32,11 +32,16 @@ from .base import Partitioner
 
 @dataclasses.dataclass
 class PatohPartitionParams:
-    """Mirrors PatohPartitionParams (patoh_partition.h)."""
+    """Mirrors PatohPartitionParams (patoh_partition.h).
+
+    ``seed`` is kept for constructor parity with the reference but is
+    **ignored**: the round-4 partitioner replaced the randomized initial
+    assignment with a deterministic weighted-chunk init (same output
+    every run), so there is no randomness left to seed."""
 
     num_partitions: int = 2
     final_imbalance: float = 0.1
-    seed: int = 42
+    seed: int = 42  # parity only; partitioner is deterministic (see class doc)
     num_iterations: int = 20
     refine_rounds: int = 8
 

@@ -12,8 +12,13 @@ AMD's upper-bound approximation, trading a constant factor of time for
 slightly better orderings.
 
 ``dense`` (like AMD_DENSE): rows with degree > dense·√n are ordered
-last. ``aggressive`` absorption is accepted for parity (absorption of
-contained elements always runs).
+last. ``aggressive`` mirrors AMD's aggressive-absorption switch
+(amd_reorder.h:27 → AMD_AGGRESSIVE): when on, an element whose variable
+list is contained in the new pivot element's list is absorbed even if
+it was not adjacent to the pivot; when off only standard absorption of
+the pivot's own elements runs. Both the native kernel and this fallback
+thread the flag through; orderings can differ between the modes through
+degree-bound/tie-break divergence (regression-tested).
 
 Sequential by nature (SURVEY.md §7 hard part 2): runs host-side; device
 inputs are pulled to host. Acceptance is fill/profile tolerance, not
@@ -37,9 +42,11 @@ class AMDReorderParams:
     aggressive: bool = True
 
 
-def _min_degree_order(indptr, indices, n, dense_threshold):
+def _min_degree_order(indptr, indices, n, dense_threshold, aggressive=True):
     """Quotient-graph minimum-degree elimination. Returns elimination
-    order as perm[new] = old."""
+    order as perm[new] = old. ``aggressive`` additionally absorbs
+    elements whose (live) variable lists are contained in the new
+    element's list (AMD aggressive absorption)."""
     # adjacency sets (symmetrized, no self loops)
     A = [set() for _ in range(n)]
     row = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
@@ -96,6 +103,18 @@ def _min_degree_order(indptr, indices, n, dense_threshold):
                 heapq.heappush(heap, (max(len(A[u]) + sum(1 for e in E[u] if e in L) - 1, 0), u))
             for e in E[v]:
                 L.pop(e, None)
+            if aggressive:
+                # aggressive absorption: any live element adjacent to the
+                # clique whose live members all sit inside Lv is covered
+                # by e_new — drop it (E lists are pruned lazily via
+                # ``e in L`` checks).
+                cand = set()
+                for u in Lv:
+                    cand |= {e for e in E[u] if e in L and e != e_new}
+                for e in cand:
+                    live = {x for x in L[e] if not eliminated[x]}
+                    if live <= Lv:
+                        L.pop(e, None)
         else:
             for e in E[v]:
                 L.pop(e, None)
@@ -115,10 +134,12 @@ def _amd_impl(formats, params: AMDReorderParams):
     from ... import native
 
     if native.available():
-        return native.amd(n, indptr, indices, thr).astype(
+        return native.amd(n, indptr, indices, thr, params.aggressive).astype(
             np.asarray(csr.indices).dtype
         )
-    perm = _min_degree_order(indptr, indices, n, thr)  # perm[new] = old
+    perm = _min_degree_order(
+        indptr, indices, n, thr, aggressive=params.aggressive
+    )  # perm[new] = old
     inv = np.empty(n, dtype=np.asarray(csr.indices).dtype)
     inv[perm] = np.arange(n, dtype=inv.dtype)
     return inv

@@ -1096,6 +1096,18 @@ def _enforce_balance(sh: ShardedCSR, labels, k: int, mesh: Mesh, balance: float)
             lab[v] = tgt
             sizes[p] -= 1
             sizes[tgt] += 1
+    if sizes.max() > cap:
+        # Only reachable when every part sits at the integer cap, i.e.
+        # floor(cap)*k < n (tiny n or balance ≈ 1). The contract is
+        # best-effort there — say so instead of silently handing the
+        # caller an over-cap labeling.
+        from ..utils.logger import Logger
+
+        Logger(type(sh)).warning(
+            "enforce_balance: infeasible at k=%d balance=%.3f "
+            "(max part %d > cap %.1f); returning best effort"
+            % (k, balance, int(sizes.max()), cap)
+        )
     return jnp.asarray(lab)
 
 

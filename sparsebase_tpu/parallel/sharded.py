@@ -403,6 +403,8 @@ def balanced_row_order(csr: CSR, d: int) -> np.ndarray:
     is kept (heaviest first)."""
     csr = csr.to_host()
     n = csr.nrows
+    if n == 0:
+        return np.empty(0, np.int64)
     deg = np.diff(np.asarray(csr.indptr)).astype(np.int64)
     by_deg = np.argsort(-deg, kind="stable")  # heavy first
     rows = -(-n // d)

@@ -134,6 +134,37 @@ class TestAMDQuality:
             assert f_nat < f_natural, (f_nat, f_natural)
             assert f_nat <= 1.5 * f_exact + 10, (f_nat, f_exact)
 
+    def test_aggressive_flag_is_live(self):
+        """``aggressive`` (amd_reorder.h:27) gates aggressive element
+        absorption in both backends — it must not be a silently-ignored
+        parameter. The native kernel's approximate degree bounds diverge
+        between the modes on random graphs (measured: every seed in
+        0..9 differs); both modes must produce valid permutations with
+        comparable fill."""
+        from sparsebase_tpu.ops.reorder.amd import AMDReorder, _min_degree_order
+
+        differed = 0
+        for seed in range(4):
+            csr = rand_csr(200, 200, 800, seed)
+            n = csr.nrows
+            indptr = np.asarray(csr.indptr).astype(np.int64)
+            indices = np.asarray(csr.indices).astype(np.int64)
+            o1 = np.asarray(AMDReorder(aggressive=True).get_reorder(csr))
+            o0 = np.asarray(AMDReorder(aggressive=False).get_reorder(csr))
+            assert sorted(o1.tolist()) == list(range(n))
+            assert sorted(o0.tolist()) == list(range(n))
+            differed += int(not np.array_equal(o1, o0))
+            f1 = _symbolic_fill(indptr, indices, n, o1.astype(np.int64))
+            f0 = _symbolic_fill(indptr, indices, n, o0.astype(np.int64))
+            assert f0 <= 1.5 * f1 + 10 and f1 <= 1.5 * f0 + 10, (f0, f1)
+            # exact-degree fallback: flag threads through and stays valid
+            p1 = _min_degree_order(indptr, indices, n, np.inf, aggressive=True)
+            p0 = _min_degree_order(indptr, indices, n, np.inf, aggressive=False)
+            assert sorted(p0.tolist()) == list(range(n))
+            assert sorted(p1.tolist()) == list(range(n))
+        if native.available():
+            assert differed > 0, "aggressive flag changed nothing on any seed"
+
 
 class TestPartitionNative:
     @pytest.mark.parametrize("k", [2, 4, 8])

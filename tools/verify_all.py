@@ -62,9 +62,4 @@ def main():
 
 
 if __name__ == "__main__":
-    # examples runner expects to be launched from its own directory
-    orig = Path.cwd()
-    try:
-        main()
-    finally:
-        os.chdir(orig)
+    main()
