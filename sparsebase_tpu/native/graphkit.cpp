@@ -804,14 +804,20 @@ int64_t sbtpu_jaccard(int64_t n, const int64_t* indptr, const int64_t* indices,
     for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e) {
       int64_t v = indices[e];
       int64_t dv = indptr[v + 1] - indptr[v];
-      // two-pointer intersection of sorted N(u), N(v)
+      // two-pointer over sorted N(u), N(v): every *instance* of x in
+      // N(u) counts when x is a member of N(v) (set membership) — the
+      // exact semantics of _jaccard_host / jaccard_weights_cuda.cu's
+      // per-candidate binary search, which differ from a plain
+      // multiset intersection when the input has duplicate entries
       int64_t a = indptr[u], b = indptr[v], inter = 0;
       while (a < indptr[u + 1] && b < indptr[v + 1]) {
         int64_t xa = indices[a], xb = indices[b];
         if (xa == xb) {
-          ++inter;
-          ++a;
-          ++b;
+          int64_t run = 1;
+          while (a + run < indptr[u + 1] && indices[a + run] == xa) ++run;
+          inter += run;
+          a += run;
+          while (b < indptr[v + 1] && indices[b] == xb) ++b;
         } else if (xa < xb) {
           ++a;
         } else {
@@ -840,22 +846,28 @@ int64_t sbtpu_triangles(int64_t n, const int64_t* indptr, const int64_t* indices
   int64_t total = 0;
   if (!directed) {
     // predecessor lists P(x) = {u < x : (u,x) ∈ E}, sorted (u ascending)
+    // set semantics (triangles._dedup_adj contract): indices are sorted
+    // within each row, so duplicate entries are adjacent — skip them
+    // both when building predecessor lists and when iterating edges
     vector<int64_t> pc(n + 1, 0);
     for (int64_t u = 0; u < n; ++u)
       for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e)
-        if (indices[e] > u) ++pc[indices[e] + 1];
+        if (indices[e] > u && (e == indptr[u] || indices[e] != indices[e - 1]))
+          ++pc[indices[e] + 1];
     for (int64_t i = 0; i < n; ++i) pc[i + 1] += pc[i];
     vector<int64_t> pi(pc[n]);
     vector<int64_t> cur(pc.begin(), pc.end() - 1);
     for (int64_t u = 0; u < n; ++u)
       for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e)
-        if (indices[e] > u) pi[cur[indices[e]]++] = u;
-    // for each edge (v,w), v<w: |P(v) ∩ P(w)|
+        if (indices[e] > u && (e == indptr[u] || indices[e] != indices[e - 1]))
+          pi[cur[indices[e]]++] = u;
+    // for each distinct edge (v,w), v<w: |P(v) ∩ P(w)|
 #pragma omp parallel for schedule(dynamic, 64) reduction(+ : total)
     for (int64_t v = 0; v < n; ++v)
       for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
         int64_t w = indices[e];
         if (w <= v) continue;
+        if (e > indptr[v] && indices[e - 1] == w) continue;
         int64_t a = pc[v], b = pc[w];
         while (a < pc[v + 1] && b < pc[w + 1]) {
           int64_t xa = pi[a], xb = pi[b];
@@ -878,9 +890,11 @@ int64_t sbtpu_triangles(int64_t n, const int64_t* indptr, const int64_t* indices
       for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e) {
         int64_t v = indices[e];
         if (v <= u) continue;
+        if (e > indptr[u] && indices[e - 1] == v) continue;  // set semantics
         for (int64_t e2 = indptr[v]; e2 < indptr[v + 1]; ++e2) {
           int64_t w = indices[e2];
           if (w <= u) continue;
+          if (e2 > indptr[v] && indices[e2 - 1] == w) continue;
           if (std::binary_search(indices + indptr[w], indices + indptr[w + 1], u))
             ++total;
         }

@@ -27,6 +27,10 @@ from ...formats.csr import CSR
 from .base import Feature
 from .triangles import _ragged_expand, _searchsorted_segments
 
+MAX_FLAT_EXPANSION = 1 << 25  # Σ deg(u)² slots beyond which the flat
+# ragged expansion (int32 ×~5 arrays ≈ 640 MB at 2²⁵) yields to the
+# chunked sparse kernel (sparse_common.py)
+
 
 def _jaccard_host(csr: CSR) -> np.ndarray:
     indptr = np.asarray(csr.indptr).astype(np.int64)
@@ -104,6 +108,14 @@ class JaccardWeights(Feature):
                     )
                 )
             return DenseArray(_jaccard_host(csr))
+        deg = csr.indptr[1:] - csr.indptr[:-1]
+        expansion = int(np.asarray((deg[csr.row_of_nnz()]).sum()))
+        if expansion > MAX_FLAT_EXPANSION:
+            # big-expansion tier (hubs: Σ deg(u)² slots would not fit):
+            # chunked owner-window kernel, numerically identical (round 5)
+            from .sparse_common import jaccard_weights_sparse_device
+
+            return DenseArray(jaccard_weights_sparse_device(csr))
         return DenseArray(_jaccard_device(csr))
 
     def get_jaccard_weights(self, fmt, context=None, convert_input=True):

@@ -191,11 +191,15 @@ class TriangleCount(Feature):
 
     @staticmethod
     def _impl(formats, params: TriangleCountParams):
-        if (
-            xp_for(formats[0].indptr) is not np
-            and formats[0].nrows <= MAX_DEVICE_DENSE_N
-        ):
-            return _device_dense_count(formats[0], params.count_directed)
+        if xp_for(formats[0].indptr) is not np:
+            if formats[0].nrows <= MAX_DEVICE_DENSE_N:
+                return _device_dense_count(formats[0], params.count_directed)
+            if not params.count_directed:
+                # big-n tier: chunked owner-window kernel, no densification
+                # (single-chip port of the round-4 sparse ring; round 5)
+                from .sparse_common import triangle_count_sparse_device
+
+                return triangle_count_sparse_device(formats[0])
         csr: CSR = formats[0].to_host()
         from ... import native
 

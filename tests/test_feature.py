@@ -238,6 +238,99 @@ class TestJaccard:
         np.testing.assert_allclose(host, dev, rtol=1e-6)
 
 
+def _rand_sym_csr(rng, n, avg_deg, self_loops=False, dups=False):
+    e = n * avg_deg // 2
+    r = rng.integers(0, n, e).astype(np.int64)
+    c = rng.integers(0, n, e).astype(np.int64)
+    if not self_loops:
+        m = r != c
+        r, c = r[m], c[m]
+    rr = np.concatenate([r, c])
+    cc = np.concatenate([c, r])
+    if dups:
+        rr = np.concatenate([rr, rr[: len(rr) // 4]])
+        cc = np.concatenate([cc, cc[: len(cc) // 4]])
+    return COO.new(rr.astype(np.int32), cc.astype(np.int32), None,
+                   shape=(n, n)).convert(CSR)
+
+
+class TestSparseDeviceTier:
+    """Round-5: single-chip chunked owner-window kernel (sparse_common.py)
+    — the big-n tier past the dense MXU wall / flat-expansion wall, the
+    single-chip port of parallel/ring.py's sparse ring (VERDICT r4 #4)."""
+
+    def test_triangles_sparse_matches_host(self, rng):
+        from sparsebase_tpu.ops.feature.sparse_common import (
+            triangle_count_sparse_device,
+        )
+
+        for seed, (sl, dup) in enumerate(
+            [(False, False), (True, False), (False, True), (True, True)]
+        ):
+            g = _rand_sym_csr(np.random.default_rng(seed), 400, 10,
+                              self_loops=sl, dups=dup)
+            host = TriangleCount().get_triangle_count(g)
+            dev = triangle_count_sparse_device(g.to_device())
+            assert int(dev) == int(host), (seed, sl, dup)
+
+    def test_triangles_impl_routes_past_dense_wall(self, rng, monkeypatch):
+        # force the dense wall low so the dispatch itself takes the
+        # sparse tier (the real wall is 16384 — too big for a unit test)
+        import sparsebase_tpu.ops.feature.triangles as T
+
+        monkeypatch.setattr(T, "MAX_DEVICE_DENSE_N", 100)
+        g = _rand_sym_csr(rng, 500, 8)
+        host = TriangleCount().get_triangle_count(g)
+        dev = TriangleCount().get_triangle_count(g.to_device())
+        assert int(dev) == int(host)
+
+    def test_triangles_sparse_rejects_directed(self):
+        from sparsebase_tpu.ops.feature.sparse_common import (
+            triangle_count_sparse_device,
+        )
+
+        with pytest.raises(ValueError):
+            triangle_count_sparse_device(_triangle_graph().to_device(),
+                                         directed=True)
+
+    def test_jaccard_sparse_matches_host(self, rng):
+        from sparsebase_tpu.ops.feature.sparse_common import (
+            jaccard_weights_sparse_device,
+        )
+
+        g = _rand_sym_csr(rng, 300, 12, self_loops=True)
+        host = np.asarray(JaccardWeights().get_jaccard_weights(g).vals)
+        dev = np.asarray(jaccard_weights_sparse_device(g.to_device()))
+        np.testing.assert_allclose(host, dev, rtol=1e-6)
+
+    def test_jaccard_impl_routes_past_expansion_wall(self, rng, monkeypatch):
+        import sparsebase_tpu.ops.feature.jaccard as J
+
+        monkeypatch.setattr(J, "MAX_FLAT_EXPANSION", 10)
+        g = _rand_sym_csr(rng, 200, 8)
+        host = np.asarray(JaccardWeights().get_jaccard_weights(g).vals)
+        dev = np.asarray(
+            JaccardWeights().get_jaccard_weights(g.to_device()).vals
+        )
+        np.testing.assert_allclose(host, dev, rtol=1e-6)
+
+    def test_triangles_sparse_empty_and_hub(self):
+        from sparsebase_tpu.ops.feature.sparse_common import (
+            triangle_count_sparse_device,
+        )
+
+        empty = COO.new(np.empty(0, np.int32), np.empty(0, np.int32), None,
+                        shape=(5, 5)).convert(CSR)
+        assert triangle_count_sparse_device(empty.to_device()) == 0
+        # star + one cross edge: hub degree n-1, exactly 1 triangle
+        n = 300
+        r = np.concatenate([np.zeros(n - 1), np.arange(1, n), [1, 2]])
+        c = np.concatenate([np.arange(1, n), np.zeros(n - 1), [2, 1]])
+        g = COO.new(r.astype(np.int32), c.astype(np.int32), None,
+                    shape=(n, n)).convert(CSR)
+        assert triangle_count_sparse_device(g.to_device()) == 1
+
+
 class TestFusedExtraction:
     def test_fused_degrees_distribution(self):
         out = DegreesDegreeDistribution().extract(fx.make_csr())
