@@ -82,17 +82,61 @@ class TestDistributedSlashburn:
     @pytest.mark.parametrize("seed,k,hub_order", [(0, 8, False), (1, 4, False),
                                                   (2, 8, True), (3, 16, False)])
     def test_matches_host_exactly(self, mesh, seed, k, hub_order):
+        # pure-distributed mode (host tiers off): every round runs over
+        # the mesh — the small default host_tail would otherwise swallow
+        # these fixtures whole
         rng = np.random.default_rng(seed)
         csr = random_sym_csr(rng, n=64 + 8 * seed, avg_deg=3)
         sh = ShardedCSR.from_csr(csr, mesh, halo=True)
         got = np.asarray(
-            halo.slashburn_reorder(sh, mesh, k_size=k, hub_order=hub_order)
+            halo.slashburn_reorder(sh, mesh, k_size=k, hub_order=hub_order,
+                                   host_tail=0, host_tail_nnz=0)
         )
         want = _slashburn_host(
             csr, SlashburnReorderParams(k_size=k, greedy=False, hub_order=hub_order)
         )
         assert sorted(got.tolist()) == list(range(csr.nrows))
         np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("hub_order", [False, True])
+    def test_all_tiers_agree(self, mesh, hub_order):
+        """Round 5: hybrid default (host-sized-residual handoff), pure
+        distributed with compaction, and compaction-off must all equal
+        the host oracle — a star-heavy graph so hub removal crashes the
+        live nnz and actually triggers the compaction phase change."""
+        rng = np.random.default_rng(11)
+        n = 96
+        # star hub 0 + background so nnz collapses after round 1
+        r = np.concatenate([np.zeros(70, np.int64),
+                            rng.integers(1, n, 60)])
+        c = np.concatenate([np.arange(1, 71, dtype=np.int64),
+                            rng.integers(1, n, 60)])
+        keep = r != c
+        r, c = r[keep], c[keep]
+        r, c = np.concatenate([r, c]), np.concatenate([c, r])
+        keys = np.unique(r * n + c)
+        row = (keys // n).astype(np.int32)
+        col = (keys % n).astype(np.int32)
+        counts = np.bincount(row, minlength=n)
+        csr = CSR(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32),
+                  col, None, (n, n))
+        sh = ShardedCSR.from_csr(csr, mesh, halo=True)
+        want = _slashburn_host(
+            csr, SlashburnReorderParams(k_size=8, greedy=False,
+                                        hub_order=hub_order)
+        )
+        for kw in (
+            {},  # hybrid defaults (host tail swallows this size: exact)
+            {"host_tail": 0, "host_tail_nnz": 0},  # pure dist + compaction
+            {"host_tail": 0, "host_tail_nnz": 0, "compact_ratio": 0.0},
+            {"host_tail": 16, "host_tail_nnz": 0},  # dist rounds + count tail
+            {"host_tail": 0, "host_tail_nnz": 40},  # dist rounds + nnz tail
+        ):
+            got = np.asarray(
+                halo.slashburn_reorder(sh, mesh, k_size=8,
+                                       hub_order=hub_order, **kw)
+            )
+            np.testing.assert_array_equal(got, want, err_msg=str(kw))
 
 
 class TestHubDegreesPastBucketCap:

@@ -9,7 +9,7 @@ the full chain
   -> distributed RCM + SlashBurn + multilevel V-cycle
 
 asserting int32 arithmetic, buffer sizing and parity hold, and
-recording wall clock + comm bytes. Writes DISTSCALE_r04.json.
+recording wall clock + comm bytes. Writes DISTSCALE_r05.json.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
        python tools/dist_at_scale.py [nnz_M (default 2.5)]
@@ -25,7 +25,7 @@ sys.path.insert(0, str(REPO))
 
 import numpy as np
 
-OUT = REPO / "DISTSCALE_r04.json"
+OUT = REPO / "DISTSCALE_r05.json"
 
 
 def main():
@@ -126,7 +126,9 @@ def main():
     res["natural_bandwidth"] = bw_nat
     print(f"rcm: {res['rcm_s']}s bw {bw_nat} -> {res['rcm_bandwidth']}", flush=True)
 
-    # distributed SlashBurn (pow2 histogram sizing under zipf hubs)
+    # distributed SlashBurn (round 5): hybrid default (device rounds +
+    # host-sized-residual handoff) and the pure-distributed mode
+    # (geometric compaction, no host tiers) — orders must be identical
     t0 = time.perf_counter()
     sb_order = np.asarray(
         jax.device_get(halo.slashburn_reorder(sh, mesh, k_size=64))
@@ -135,7 +137,21 @@ def main():
     res["slashburn_order_valid"] = bool(
         np.array_equal(np.sort(sb_order), np.arange(n))
     )
-    print(f"slashburn: {res['slashburn_s']}s valid={res['slashburn_order_valid']}", flush=True)
+    t0 = time.perf_counter()
+    sb_pure = np.asarray(
+        jax.device_get(
+            halo.slashburn_reorder(sh, mesh, k_size=64, host_tail=0,
+                                   host_tail_nnz=0)
+        )
+    ).reshape(-1)[:n]
+    res["slashburn_pure_dist_s"] = round(time.perf_counter() - t0, 2)
+    res["slashburn_modes_match"] = bool(np.array_equal(sb_order, sb_pure))
+    print(
+        f"slashburn: hybrid {res['slashburn_s']}s / pure-dist "
+        f"{res['slashburn_pure_dist_s']}s valid={res['slashburn_order_valid']} "
+        f"match={res['slashburn_modes_match']}",
+        flush=True,
+    )
 
     # multilevel V-cycle partition at scale
     t0 = time.perf_counter()
@@ -166,6 +182,7 @@ def main():
         ok
         and res["rcm_order_valid"]
         and res["slashburn_order_valid"]
+        and res["slashburn_modes_match"]
         and cut < rand_cut
     )
     OUT.write_text(json.dumps(res, indent=1))
