@@ -135,10 +135,19 @@ class Operation:
         fn, chains = self._match(formats, context)
         converted: List[Optional[Format]] = []
         final_inputs: List[Format] = []
+        # Named profiler scopes (SURVEY §5 directive; reference analogue:
+        # the per-kernel timers of concrete_experiment.cc:57-70): every
+        # dispatched op and every auto-conversion shows up as its own
+        # span in a jax.profiler trace instead of one opaque blob.
+        import jax
+
         for fmt, chain in zip(formats, chains):
             if chain is None:
                 if context is not None and not fmt.context.is_equivalent(context):
-                    fmt = fmt.to(context)
+                    with jax.profiler.TraceAnnotation(
+                        f"sbtpu:convert:{type(fmt).__name__}:to_context"
+                    ):
+                        fmt = fmt.to(context)
                     converted.append(fmt)
                 else:
                     converted.append(None)
@@ -146,12 +155,19 @@ class Operation:
             else:
                 cur = fmt
                 if context is not None and not cur.context.is_equivalent(context):
-                    cur = cur.to(context)
+                    with jax.profiler.TraceAnnotation(
+                        f"sbtpu:convert:{type(cur).__name__}:to_context"
+                    ):
+                        cur = cur.to(context)
                 for f, _cls in chain:
-                    cur = f(cur)
+                    with jax.profiler.TraceAnnotation(
+                        f"sbtpu:convert:{type(cur).__name__}->{_cls.__name__}"
+                    ):
+                        cur = f(cur)
                 converted.append(cur)
                 final_inputs.append(cur)
-        return converted, fn(final_inputs, params)
+        with jax.profiler.TraceAnnotation(f"sbtpu:op:{self.name}"):
+            return converted, fn(final_inputs, params)
 
 
 class ClassMatcher:

@@ -105,3 +105,30 @@ class TestClassMatcher:
         m.register(["a", "b"], lambda: "AB")
         with pytest.raises(FunctionNotFoundError):
             m.match(["a"])
+
+
+class TestProfilerScopes:
+    def test_ops_and_conversions_named_in_trace(self, tmp_path):
+        """SURVEY §5 directive (VERDICT r4 missing #5): every dispatched
+        op and auto-conversion emits a named jax.profiler span, so a
+        pipeline trace shows per-op structure instead of one opaque
+        blob (reference analogue: concrete_experiment.cc:57-70)."""
+        import glob
+        import pathlib
+
+        import jax
+
+        from sparsebase_tpu import COO
+        from sparsebase_tpu.ops.feature import Degrees
+
+        coo = COO.new(
+            np.array([0, 1], np.int32), np.array([1, 0], np.int32), None, (2, 2)
+        )
+        jax.profiler.start_trace(str(tmp_path))
+        Degrees().get_degrees(coo)  # forces COO->CSR conversion + the op
+        jax.profiler.stop_trace()
+        files = glob.glob(str(tmp_path) + "/**/*.xplane.pb", recursive=True)
+        assert files, "no trace written"
+        blob = b"".join(pathlib.Path(f).read_bytes() for f in files)
+        assert b"sbtpu:op:degrees" in blob
+        assert b"sbtpu:convert:COO->CSR" in blob

@@ -102,6 +102,52 @@ class TestVisualizer:
         assert "<svg" in html and "rev" in html and "bandwidth" in html
         assert "natural ordering" in html
 
+    def test_ash958_dashboard_three_orderings(self, tmp_path):
+        """VERDICT r4 #8: reference-report parity — the styled dashboard
+        on a real matrix with natural + 3 alternative orderings, feature
+        cards, per-section feature lists, hover tooltips, and the CLI
+        path (visualizer.cc:18-88 structure)."""
+        import numpy as np
+
+        from sparsebase_tpu.bases import IOBase, ReorderBase
+
+        csr = IOBase.read_mtx_to_csr(
+            "/root/reference/examples/data/ash958.mtx"
+        )
+        viz = Visualizer(csr, num_parts=32, name="ash958")
+        for alias in ("rcm", "degree", "gray"):
+            order = ReorderBase.reorder(alias, csr)
+            viz.add_ordering(alias, np.asarray(order),
+                             features={"src": alias})
+        viz.add_features({"nnz": csr.nnz})
+        out = tmp_path / "dash.html"
+        viz.write_html(str(out))
+        html = out.read_text()
+        # one section per ordering + natural
+        assert html.count('class="section"') == 4
+        for alias in ("rcm", "degree", "gray"):
+            assert f"<h2>{alias}</h2>" in html
+        assert 'class="non-ordering-based-features"' in html
+        assert "Ordering Based Features" in html
+        assert "Graphical Features" in html
+        assert "NNZ(s):" in html  # hover tooltips
+        assert "mean block bandwidth" in html
+
+    def test_cli_writes_report(self, tmp_path):
+        import subprocess
+        import sys
+
+        out = tmp_path / "cli.html"
+        r = subprocess.run(
+            [sys.executable, "-m", "sparsebase_tpu.utils.visualizer",
+             "/root/reference/examples/data/ash958.mtx", str(out),
+             "--orderings", "rcm", "--parts", "16"],
+            capture_output=True, text=True, timeout=300,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert out.exists() and "rcm" in out.read_text()
+
 
 class TestDistributedExperiment:
     def test_sharded_loader_pipeline(self, tmp_path):
