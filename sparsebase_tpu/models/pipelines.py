@@ -98,12 +98,29 @@ def _row_sums_blocked(prod, indptr, n, block: int = 512):
 
 
 def _permute_and_spmv(
-    coo: COO, indptr, degrees, ro, x, *, blocked_reduce: bool = False, perm=None
+    coo: COO, indptr, degrees, ro, x, *, blocked_reduce: bool = False,
+    perm=None, boundary_diff: bool = True, fused_scatter: bool = True,
+    post_sort_reduce: bool = False,
 ):
     """Shared pipeline tail: given an inverse permutation ``ro`` (and the
     CSR structure of the input), apply the symmetric permutation with the
     measured-optimal op mix (one fused pair gather + one 2-key sort) and
-    compute ``y = P·(A@x)``."""
+    compute ``y = P·(A@x)``.
+
+    Round-5 y-branch variants (VERDICT r4 #2; measured in
+    tools/r5_perf.py / R5_TPU.json):
+
+    * ``boundary_diff`` — read the running sum once at all n+1 indptr
+      boundaries and difference (ONE n-sized gather) instead of two
+      gathers at indptr[1:] / indptr[:-1].
+    * ``fused_scatter`` — write (y, degrees) through ONE (n, 2) scatter
+      at ``ro`` (f32 rides as int32 bits) instead of two separate
+      n-sized scatters; scatter cost is per-index, like the round-4
+      pair-gather result.
+    * ``post_sort_reduce`` — ride x_c through the sort as a third
+      payload and reduce per NEW row (cumsum + new_indptr boundary
+      diff), eliminating the y scatter entirely.
+    """
     n = coo.nrows
     nnz = coo.nnz
     idt = coo.row.dtype
@@ -120,34 +137,73 @@ def _permute_and_spmv(
     new_col = pair[:, 0].astype(idt)
     x_c = jax.lax.bitcast_convert_type(pair[:, 1], jnp.float32)
 
-    # -- SpMV, reduced in source-row order (order-independent per row) -------
+    # -- permutation: relabel + one 2-key sort --------------------------------
+    new_row = expand_row_table(ro, indptr, nnz, out_dtype=idt)
+    if post_sort_reduce:
+        _, col_s, vals_s, xbits_s = jax.lax.sort(
+            (new_row, new_col, vals, pair[:, 1]), num_keys=2, is_stable=False
+        )
+    else:
+        _, col_s, vals_s = jax.lax.sort(
+            (new_row, new_col, vals), num_keys=2, is_stable=False
+        )
+
+    # -- new indptr (+ y write when fused) -----------------------------------
+    if perm is not None:
+        counts_new = degrees[perm]
+    elif not (fused_scatter and perm is None and not post_sort_reduce):
+        counts_new = jnp.zeros((n,), indptr.dtype).at[ro].set(degrees)
+
+    # -- SpMV, reduced per row (order-independent within a row) --------------
+    if post_sort_reduce:
+        # reduce in NEW row order after the sort: no y scatter at all
+        new_indptr = jnp.concatenate(
+            [jnp.zeros((1,), indptr.dtype),
+             jnp.cumsum(counts_new).astype(indptr.dtype)]
+        )
+        prod = vals_s.astype(x.dtype) * jax.lax.bitcast_convert_type(
+            xbits_s, jnp.float32
+        ).astype(x.dtype)
+        run = jnp.concatenate([jnp.zeros((1,), prod.dtype), jnp.cumsum(prod)])
+        ga = run[new_indptr]
+        y = ga[1:] - ga[:-1]
+        permuted = CSR(new_indptr, col_s, vals_s, coo.shape)
+        return permuted, y
+
     prod = vals.astype(x.dtype) * x_c.astype(x.dtype)
     if blocked_reduce:
         y_old = _row_sums_blocked(prod, indptr, n)
     else:
         run = jnp.concatenate([jnp.zeros((1,), prod.dtype), jnp.cumsum(prod)])
-        y_old = run[indptr[1:]] - run[indptr[:-1]]
-    # perm (forward permutation) turns the two n-sized scatters below
-    # into gathers — MEASURED SLOWER in the composed pipeline (R4_TPU_d2/
+        if boundary_diff:
+            ga = run[indptr]
+            y_old = ga[1:] - ga[:-1]
+        else:
+            y_old = run[indptr[1:]] - run[indptr[:-1]]
+    # perm (forward permutation) turns the n-sized scatters below into
+    # gathers — MEASURED SLOWER in the composed pipeline (R4_TPU_d2/
     # d3.json: 18.5 vs 17.7 ns/nnz at 100M; the unique-index permutation
     # scatter fuses better than the extra gather chain), so callers leave
     # perm=None; the path stays for re-measurement on other hardware.
     if perm is not None:
         y = y_old[perm]  # y[new] = (A@x)[perm[new]]
+        counts_out = counts_new
+    elif fused_scatter:
+        payload = jnp.stack(
+            [jax.lax.bitcast_convert_type(y_old.astype(jnp.float32), jnp.int32),
+             degrees.astype(jnp.int32)],
+            axis=1,
+        )
+        packed = jnp.zeros((n, 2), jnp.int32).at[ro].set(payload)
+        y = jax.lax.bitcast_convert_type(packed[:, 0], jnp.float32).astype(
+            prod.dtype
+        )
+        counts_out = packed[:, 1].astype(indptr.dtype)
     else:
         y = jnp.zeros((n,), prod.dtype).at[ro].set(y_old)  # y[ro[i]] = (A@x)[i]
-
-    # -- permutation: relabel + one 2-key sort --------------------------------
-    new_row = expand_row_table(ro, indptr, nnz, out_dtype=idt)
-    _, col_s, vals_s = jax.lax.sort(
-        (new_row, new_col, vals), num_keys=2, is_stable=False
-    )
-    if perm is not None:
-        counts_new = degrees[perm]
-    else:
-        counts_new = jnp.zeros((n,), indptr.dtype).at[ro].set(degrees)
+        counts_out = counts_new
     new_indptr = jnp.concatenate(
-        [jnp.zeros((1,), indptr.dtype), jnp.cumsum(counts_new).astype(indptr.dtype)]
+        [jnp.zeros((1,), indptr.dtype), jnp.cumsum(counts_out).astype(indptr.dtype)]
     )
     permuted = CSR(new_indptr, col_s, vals_s, coo.shape)
     return permuted, y

@@ -154,6 +154,20 @@ def _rcm_device(csr: CSR, peripheral_iters: int = 2):
     import jax
     import jax.numpy as jnp
 
+    from ...config import get_config
+
+    if csr.nrows > get_config().rcm_device_max_n:
+        from ...utils.exceptions import ReorderError
+
+        raise ReorderError(
+            f"device RCM is limited to n <= {get_config().rcm_device_max_n} "
+            f"vertices (got {csr.nrows}): beyond the measured-good size "
+            "the level-synchronous while_loop faults the TPU and wedges "
+            "the chip (ROUND4_NOTES.md). Use the host reorderer "
+            "(csr.to_host()) or raise config.rcm_device_max_n only with "
+            "chip evidence."
+        )
+
     n = csr.nrows
     nnz = csr.nnz
     indptr = csr.indptr
