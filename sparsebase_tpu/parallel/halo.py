@@ -1084,13 +1084,25 @@ def bfs_levels_multilevel(
     _require_halo(sh)
     import jax as _jax
 
+    import os as _os
+
+    _dbg = bool(_os.environ.get("SBTPU_ML_DEBUG"))
+
+    def _d(msg):
+        if _dbg:
+            import time as _t
+
+            print(f"## ml {msg} ({_t.perf_counter():.1f})", flush=True)
+
     ladder = [sh]
     maps = []
     cur = sh
     steps = 0
     while cur.shape[0] > max(int(coarsen_until), 1) and len(maps) < max_levels:
+        _d(f"match n={cur.shape[0]}")
         match = heavy_edge_matching(cur, mesh, rounds=matching_rounds,
                                     weighted=False)
+        _d("coarsen")
         nxt, cid = coarsen(cur, match, mesh, halo=True, return_mapping=True)
         steps += 2 * matching_rounds + 3  # handshake + relabel exchanges
         if nxt.shape[0] >= cur.shape[0]:
@@ -1102,10 +1114,13 @@ def bfs_levels_multilevel(
     for cid in maps:
         r = int(cid[r])
     axis, n_c, d, rows_c, width_c, halo_c = _statics(cur)
+    _d(f"coarse bfs n={cur.shape[0]} root={r}")
     lev_dev, depth = _bfs_sharded(cur, r, mesh)
     lev = lev_dev.reshape(-1)[: cur.shape[0]]
     steps += int(np.asarray(_jax.device_get(depth)))
+    _d(f"walk up, coarse depth={int(np.asarray(_jax.device_get(depth)))}")
     for level in range(len(maps) - 1, -1, -1):
+        _d(f"correct level {level}")
         cid = maps[level]
         fine = ladder[level]
         lev_h = np.asarray(_jax.device_get(lev)).astype(np.int64)

@@ -63,28 +63,26 @@ def _sync(x):
     return x
 
 
-def run_weak_scaling(
+def run_one_row(
+    kind: str,
+    d: int,
     base_n: int = 4096,
     avg_deg: int = 8,
-    device_counts: List[int] | None = None,
     reps: int = 3,
     use_halo: bool = True,
-    kind: str = "random",
 ) -> Dict:
-    """Time sharded SpMV + distributed RCM + label-prop partition at
-    constant per-device problem size; report efficiency vs 1 device plus
-    the per-device halo communication volume."""
+    """One weak-scaling row (one kind, one device count) — run in its
+    OWN process by :func:`run_weak_scaling`. Round-5 note: the original
+    single-process sweep accumulated ~50 GB of XLA state by the d=8
+    stencil row and ground to a halt on this box; per-row subprocesses
+    keep each measurement clean and restartable."""
     import jax
     import jax.numpy as jnp
 
     from . import ShardedCSR, halo, label_prop_partition, make_mesh, rcm_reorder, spmv
 
-    n_avail = len(jax.devices())
-    if device_counts is None:
-        device_counts = [d for d in (1, 2, 4, 8, 16) if d <= n_avail]
-
-    results = {}
-    for d in device_counts:
+    if True:
+        print(f"# weak-scaling {kind}: d={d}", flush=True)
         mesh = make_mesh(d)
         n = base_n * d  # weak scaling: n grows with the mesh
         csr = _make_graph(n, avg_deg, seed=d, kind=kind)
@@ -94,6 +92,10 @@ def run_weak_scaling(
         # 1-device mesh) so efficiencies compare like with like
         halo_ok = bool(use_halo)
 
+        def _stage(msg):
+            print(f"#   {msg} ({time.perf_counter():.0f})", flush=True)
+
+        _stage("spmv")
         spmv_fn = halo.spmv if halo_ok else spmv
         f_spmv = jax.jit(lambda s, v: spmv_fn(s, v, mesh))
         _sync(f_spmv(sh, x))
@@ -111,6 +113,7 @@ def run_weak_scaling(
                 )
             return rcm_reorder(sh, mesh, root=0, max_iters=64)
 
+        _stage("rcm")
         _sync(run_rcm())  # compile
         t0 = time.perf_counter()
         order = run_rcm()
@@ -120,10 +123,15 @@ def run_weak_scaling(
         # multilevel RCM (round 5): the sub-diameter variant — coarsen,
         # BFS the coarsest graph, project + correct levels. Orders are
         # approximate-RCM; bandwidth is reported next to the exact one.
+        _stage("rcm_ml")
         t_rcm_ml = None
         rcm_ml_steps = 0
         bw = {}
-        if halo_ok:
+        if halo_ok and kind == "stencil":
+            # rcm_ml only where the diameter bound bites: the stencil.
+            # (random graphs have log diameter — exact RCM already weak-
+            # scales there, and the ladder's per-phase shard_map compiles
+            # dominate the harness runtime on the 2-core CPU mesh)
             def run_rcm_ml():
                 return halo.rcm_reorder_ml(sh, mesh, root=0,
                                            coarsen_until=base_n)
@@ -146,6 +154,7 @@ def run_weak_scaling(
                 ),
             }
 
+        _stage("partition")
         part_fn = halo.label_prop_partition if halo_ok else label_prop_partition
         k = min(4, max(d, 2))
         _sync(part_fn(sh, k, mesh, num_iters=6))  # compile
@@ -157,13 +166,15 @@ def run_weak_scaling(
         # BFS depth (for the ICI projection's step counts: RCM does O(L)
         # halo exchanges — more at larger n, which is exactly the honest
         # weak-scaling cost of a diameter-bound algorithm)
+        _stage("bfs_depth")
         if halo_ok:
             levels = np.asarray(jax.device_get(halo.bfs_levels(sh, 0, mesh)))
             bfs_depth = int(levels.max()) + 1
         else:
             bfs_depth = 0
+        _stage("row done")
 
-        results[d] = {
+        return {
             "n": n,
             "nnz": csr.nnz,
             "spmv_s": t_spmv,
@@ -185,6 +196,44 @@ def run_weak_scaling(
             **bw,
         }
 
+
+def run_weak_scaling(
+    base_n: int = 4096,
+    avg_deg: int = 8,
+    device_counts: List[int] | None = None,
+    reps: int = 3,
+    use_halo: bool = True,
+    kind: str = "random",
+) -> Dict:
+    """Time sharded SpMV + distributed RCM (+ the multilevel variant on
+    the stencil) + label-prop partition at constant per-device problem
+    size; report efficiency vs 1 device plus the per-device halo
+    communication volume. Each row runs in its own subprocess (see
+    :func:`run_one_row`)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    import jax
+
+    n_avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16) if d <= n_avail]
+
+    results = {}
+    for d in device_counts:
+        r = subprocess.run(
+            [_sys.executable, "-m", "sparsebase_tpu.parallel.scaling",
+             "--row", kind, str(d), str(base_n), str(avg_deg), str(reps)],
+            capture_output=True, text=True,
+            env={**__import__("os").environ,
+                 "XLA_FLAGS": f"--xla_force_host_platform_device_count={n_avail}"},
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"row {kind} d={d} failed:\n" + r.stderr[-3000:])
+        row = _json.loads(r.stdout.splitlines()[-1])
+        results[d] = row
+
     base = results[device_counts[0]]
     for d in device_counts:
         r = results[d]
@@ -194,7 +243,7 @@ def run_weak_scaling(
         r["partition_efficiency"] = round(
             base["partition_s"] / max(r["partition_s"], 1e-9), 3
         )
-        if r.get("rcm_ml_s") is not None:
+        if r.get("rcm_ml_s") is not None and base.get("rcm_ml_s"):
             r["rcm_ml_efficiency"] = round(
                 base["rcm_ml_s"] / max(r["rcm_ml_s"], 1e-9), 3
             )
@@ -255,6 +304,16 @@ def main():
     import os
 
     import jax
+
+    if len(__import__("sys").argv) > 1 and __import__("sys").argv[1] == "--row":
+        import json as _json
+        import sys as _sys
+
+        jax.config.update("jax_platforms", "cpu")
+        kind, d, base_n, avg_deg, reps = _sys.argv[2:7]
+        row = run_one_row(kind, int(d), int(base_n), int(avg_deg), int(reps))
+        print(_json.dumps(row))
+        return
 
     # the harness targets the virtual CPU mesh: this image's sitecustomize
     # pre-registers the axon TPU backend and ignores JAX_PLATFORMS, so

@@ -344,6 +344,20 @@ class ShardedCSR(Format):
                 "from_coo_sharded: routing bucket overflow — raise route_capacity "
                 f"(cap={cap})"
             )
+        # post-route compaction (round 5): the routed buffer is d·cap wide
+        # per shard — when a source shard's entries concentrate on ONE
+        # owner (cap ≈ e), that is a d× width inflation over the true
+        # load. Left uncompacted this COMPOUNDS under repeated resharding
+        # (the multilevel coarsen ladder grew ~d× wider per level —
+        # 20-50 GB buffers by level 4 on the weak-scaling stencil). The
+        # local sort puts real entries first (pad rows sort as n), so
+        # compaction is one static column slice at pow2(max true load).
+        wmax = int(np.max(_host_fetch(cnt)))
+        w_c = max(64, 1 << (max(wmax, 1) - 1).bit_length())
+        if w_c < rr.shape[1]:
+            rr = rr[:, :w_c]
+            cc = cc[:, :w_c]
+            vv = vv[:, :w_c]
         # reshard onto the caller's mesh/axis name
         sharding = NamedSharding(mesh, PartitionSpec(axis))
         put = lambda a: jax.device_put(a, sharding)
