@@ -164,8 +164,8 @@ int main(int argc, char** argv) {
     format::Array<ID> ident_arr(n, ident, format::kNotOwned);
     format::Array<ID> dperm_arr(n, dperm, format::kNotOwned);
     for (int parts : {3, 8}) {
-      reorder::ReorderHeatmap<ID, NNZ, VAL, float> hm(
-          reorder::ReorderHeatmapParams(parts));
+      reorder::ReorderHeatmapParams hp(parts);
+      reorder::ReorderHeatmap<ID, NNZ, VAL, float> hm{hp};
       auto* nat = hm.Get(csr, &ident_arr, &ident_arr, {&cpu}, true)
                       ->template As<format::Array>();
       dump(out + "/heatmap_natural_" + std::to_string(parts) + ".txt",
