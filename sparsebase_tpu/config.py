@@ -40,6 +40,12 @@ class Config:
     # of faulting the hardware. Raise only with chip evidence
     # (tools/r5_perf.py section E ascends cautiously).
     rcm_device_max_n: int = 1_000_000
+    # Same pattern for the chunked owner-window triangle/Jaccard kernel
+    # (ops/feature/sparse_common.py): the r5 chip batch crashed the TPU
+    # worker at 16M nnz (n=1M) while 400k nnz passed its parity gate.
+    # Beyond the limit the feature entry points fall back to the host
+    # kernels (which are always available) instead of faulting.
+    sparse_common_device_max_nnz: int = 1_000_000
     sort_on_construction: bool = True  # CSR/COO invariant repair in .new()
 
     # logging

@@ -99,7 +99,7 @@ def _row_sums_blocked(prod, indptr, n, block: int = 512):
 
 def _permute_and_spmv(
     coo: COO, indptr, degrees, ro, x, *, blocked_reduce: bool = False,
-    perm=None, boundary_diff: bool = True, fused_scatter: bool = True,
+    perm=None, boundary_diff: bool = True, fused_scatter: bool = False,
     post_sort_reduce: bool = False,
 ):
     """Shared pipeline tail: given an inverse permutation ``ro`` (and the
@@ -115,11 +115,17 @@ def _permute_and_spmv(
       gathers at indptr[1:] / indptr[:-1].
     * ``fused_scatter`` — write (y, degrees) through ONE (n, 2) scatter
       at ``ro`` (f32 rides as int32 bits) instead of two separate
-      n-sized scatters; scatter cost is per-index, like the round-4
-      pair-gather result.
+      n-sized scatters.
     * ``post_sort_reduce`` — ride x_c through the sort as a third
       payload and reduce per NEW row (cumsum + new_indptr boundary
       diff), eliminating the y scatter entirely.
+
+    Measured at 100M nnz (R5_TPU.json B): baseline 18.17 ns/nnz,
+    **boundary_diff 17.34 (the new default)**, fused_scatter 20.05
+    (LOSES — unlike the pair gather, the (n, 2) scatter is NOT
+    per-index-priced on this part), post_sort 17.91 (the 3rd sort
+    payload costs more than the scatter it removes). Headline with the
+    winner: 58.1M nnz/s.
     """
     n = coo.nrows
     nnz = coo.nnz

@@ -108,9 +108,15 @@ class JaccardWeights(Feature):
                     )
                 )
             return DenseArray(_jaccard_host(csr))
+        from ...config import get_config
+
         deg = csr.indptr[1:] - csr.indptr[:-1]
         expansion = int(np.asarray((deg[csr.row_of_nnz()]).sum()))
         if expansion > MAX_FLAT_EXPANSION:
+            if csr.nnz > get_config().sparse_common_device_max_nnz:
+                # past the measured-good size of the chunked kernel
+                # (chip fault guard, see triangles.py) — host fallback
+                return JaccardWeights._impl([csr.to_host()], params)
             # big-expansion tier (hubs: Σ deg(u)² slots would not fit):
             # chunked owner-window kernel, numerically identical (round 5)
             from .sparse_common import jaccard_weights_sparse_device

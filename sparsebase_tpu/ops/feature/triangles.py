@@ -194,9 +194,16 @@ class TriangleCount(Feature):
         if xp_for(formats[0].indptr) is not np:
             if formats[0].nrows <= MAX_DEVICE_DENSE_N:
                 return _device_dense_count(formats[0], params.count_directed)
-            if not params.count_directed:
+            from ...config import get_config
+
+            if (
+                not params.count_directed
+                and formats[0].nnz <= get_config().sparse_common_device_max_nnz
+            ):
                 # big-n tier: chunked owner-window kernel, no densification
-                # (single-chip port of the round-4 sparse ring; round 5)
+                # (single-chip port of the round-4 sparse ring; round 5).
+                # Beyond sparse_common_device_max_nnz the kernel faulted
+                # the chip (R5_TPU.json D) — host fallback below.
                 from .sparse_common import triangle_count_sparse_device
 
                 return triangle_count_sparse_device(formats[0])
