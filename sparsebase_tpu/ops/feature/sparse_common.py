@@ -16,11 +16,21 @@ triples counted once; set semantics per triangles._dedup_adj),
 feature/jaccard_weights_cuda.cu:70-91 (the bst loop — per directed edge
 J = |∩| / |∪| with *instance* counting, matching _jaccard_host exactly).
 
+Launch structure (round-5 chip finding): ONE device program sweeping
+all blocks crashed the TPU worker once its execution ran long (~40 s of
+sequential gather chains at 4M nnz; the 400k-nnz case at ~4 s passed) —
+the same fault signature as the device-RCM while_loop at n=4M
+(ROUND4_NOTES.md). The sweep is therefore **host-chunked**: one jitted
+program processes GROUP_BLOCKS edge blocks (bounded device time per
+launch), and Python loops groups with the output carried device-resident
+(per-group scalars for triangles; an (nnz_pad,) counts buffer threaded
+through donation for Jaccard). Dispatch overhead is milliseconds per
+multi-second launch.
+
 Trace notes (CLAUDE.md perf rules): static shapes — edges padded to a
-block multiple, candidate chunks bounded by the *block* max degree via a
-traced-bound fori_loop (lowers to while_loop, so skewed graphs don't pay
-the hub degree on every block); binary search is a statically-unrolled
-log2(wmax) round loop; all indexing is gathers (never searchsorted).
+group multiple, candidate chunks bounded by the *block* max degree via a
+traced-bound fori_loop, binary search statically unrolled to log2(wmax)
+rounds; all indexing is gathers (never searchsorted).
 """
 
 from __future__ import annotations
@@ -31,22 +41,22 @@ import numpy as np
 
 E_CHUNK = 4096  # edges per block
 C_CHUNK = 256  # candidate positions per inner chunk
+GROUP_BLOCKS = 32  # blocks per device launch (bounds device time/launch)
 
 
 @functools.lru_cache(maxsize=None)
-def _runner(n, nnz, wmax, mode, nnz_pad):
+def _group_runner(n, nnz, wmax, mode, nnz_pad):
     import jax
     import jax.numpy as jnp
 
     rounds = max(int(wmax).bit_length(), 1)
-    nblocks = max(-(-nnz_pad // E_CHUNK), 1)
 
-    def kernel(indptr, indices, row):
+    def group(indptr, indices, row, out, goff):
         deg = indptr[1:] - indptr[:-1]
 
         def block(bi, carry):
             out, wrapped, approx = carry
-            e0 = bi * E_CHUNK
+            e0 = (goff + bi) * E_CHUNK
             e = e0 + jnp.arange(E_CHUNK, dtype=jnp.int32)
             ev = e < nnz
             eidx = jnp.minimum(e, nnz - 1)
@@ -107,32 +117,39 @@ def _runner(n, nnz, wmax, mode, nnz_pad):
                 out = jax.lax.dynamic_update_slice(out, counts, (e0,))
             return out, wrapped, approx
 
-        init = (
-            jnp.zeros((nnz_pad,), jnp.int32),
-            jnp.int32(0),
-            jnp.float32(0.0),
-        )
-        out, wrapped, approx = jax.lax.fori_loop(0, nblocks, block, init)
-        if mode == "triangles":
-            return wrapped, approx
-        union = deg[row] + deg[indices] - out[:nnz]
-        return (out[:nnz].astype(jnp.float32) / jnp.maximum(union, 1)).astype(
-            jnp.float32
-        )
+        init = (out, jnp.int32(0), jnp.float32(0.0))
+        out, wrapped, approx = jax.lax.fori_loop(0, GROUP_BLOCKS, block, init)
+        return out, wrapped, approx
 
-    return jax.jit(kernel)
+    donate = (3,) if mode == "jaccard" else ()
+    return jax.jit(group, donate_argnums=donate)
 
 
-def _prep(csr):
+def _sweep(csr, mode):
+    """Host-chunked sweep over all edge blocks; returns
+    (out, wrapped_sum, approx_sum)."""
+    import jax
     import jax.numpy as jnp
 
     indptr = csr.indptr.astype(jnp.int32)
     indices = csr.indices.astype(jnp.int32)
     row = csr.row_of_nnz().astype(jnp.int32)
     deg = indptr[1:] - indptr[:-1]
-    wmax = int(np.asarray(deg.max())) if csr.nrows else 1
-    nnz_pad = -(-max(csr.nnz, 1) // E_CHUNK) * E_CHUNK
-    return indptr, indices, row, max(wmax, 1), nnz_pad
+    wmax = max(int(np.asarray(deg.max())) if csr.nrows else 1, 1)
+    group_span = GROUP_BLOCKS * E_CHUNK
+    n_groups = max(-(-csr.nnz // group_span), 1)
+    nnz_pad = n_groups * group_span
+    run = _group_runner(csr.nrows, csr.nnz, wmax, mode, nnz_pad)
+    out = jnp.zeros((nnz_pad if mode == "jaccard" else 1,), jnp.int32)
+    wrapped = 0
+    approx = 0.0
+    for g in range(n_groups):
+        out, w, a = run(indptr, indices, row, out,
+                        jnp.int32(g * GROUP_BLOCKS))
+        if mode == "triangles":
+            wrapped = (wrapped + int(np.asarray(jax.device_get(w)))) % (1 << 32)
+            approx += float(np.asarray(jax.device_get(a)))
+    return out, wrapped, approx
 
 
 def triangle_count_sparse_device(csr, directed: bool = False) -> int:
@@ -144,19 +161,13 @@ def triangle_count_sparse_device(csr, directed: bool = False) -> int:
     anyway, triangle_count.cc:141-175)."""
     if directed:
         raise ValueError("sparse device path is undirected-only")
-    import jax
-
     from ...utils.exact import combine_wrapped
 
     if csr.nnz == 0:
         return 0
-    indptr, indices, row, wmax, nnz_pad = _prep(csr)
-    f = _runner(csr.nrows, csr.nnz, wmax, "triangles", nnz_pad)
-    wrapped, approx = f(indptr, indices, row)
-    total = combine_wrapped(
-        int(np.asarray(jax.device_get(wrapped))),
-        float(np.asarray(jax.device_get(approx))),
-    )
+    _, wrapped, approx = _sweep(csr, "triangles")
+    wrapped = wrapped if wrapped < (1 << 31) else wrapped - (1 << 32)
+    total = combine_wrapped(int(wrapped), float(approx))
     return total // 6
 
 
@@ -169,6 +180,13 @@ def jaccard_weights_sparse_device(csr):
 
     if csr.nnz == 0:
         return jnp.zeros((0,), jnp.float32)
-    indptr, indices, row, wmax, nnz_pad = _prep(csr)
-    f = _runner(csr.nrows, csr.nnz, wmax, "jaccard", nnz_pad)
-    return f(indptr, indices, row)
+    out, _, _ = _sweep(csr, "jaccard")
+    indptr = csr.indptr.astype(jnp.int32)
+    indices = csr.indices.astype(jnp.int32)
+    row = csr.row_of_nnz().astype(jnp.int32)
+    deg = indptr[1:] - indptr[:-1]
+    inter = out[: csr.nnz]
+    union = deg[row] + deg[indices] - inter
+    return (inter.astype(jnp.float32) / jnp.maximum(union, 1)).astype(
+        jnp.float32
+    )

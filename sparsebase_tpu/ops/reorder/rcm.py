@@ -259,9 +259,42 @@ def _rcm_device(csr: CSR, peripheral_iters: int = 2):
     visited0 = jnp.zeros((n,), bool)
     curr0 = jnp.full((n,), INF, jnp.int32)
     comp0 = jnp.zeros((n,), jnp.int32)
-    pos, visited, _, _, comp_of, _ = jax.lax.while_loop(
-        cond, body, (pos0, visited0, curr0, jnp.int32(0), comp0, jnp.int32(0))
-    )
+    # Host-chunked launch (round 5): one unbounded while_loop sweeping
+    # the whole BFS crashed the TPU worker once its execution ran long
+    # (the n=4M fault of ROUND4_NOTES.md; same signature as the sparse
+    # triangle kernel at 4M nnz — see ops/feature/sparse_common.py).
+    # Run at most K BFS rounds per device program and let Python loop,
+    # syncing one "all visited" scalar per launch. Under an enclosing
+    # jit trace (rcm_pipeline) the host loop is untraceable, so the
+    # single while_loop is kept there — jitted pipelines are bounded by
+    # config.rcm_device_max_n like every device-RCM entry.
+    state0 = (pos0, visited0, curr0, jnp.int32(0), comp0, jnp.int32(0))
+    if isinstance(csr.indptr, jax.core.Tracer):
+        pos, visited, _, _, comp_of, _ = jax.lax.while_loop(
+            cond, body, state0
+        )
+    else:
+        K = 256
+
+        @jax.jit
+        def run_k(state):
+            def cond_k(s):
+                st, it = s
+                return cond(st) & (it < K)
+
+            def body_k(s):
+                st, it = s
+                return body(st), it + 1
+
+            state, _ = jax.lax.while_loop(cond_k, body_k, (state, jnp.int32(0)))
+            return state, jnp.all(state[1])
+
+        state = state0
+        while True:
+            state, done = run_k(state)
+            if bool(np.asarray(jax.device_get(done))):
+                break
+        pos, visited, _, _, comp_of, _ = state
     # per-component reversal: new = comp_min + comp_max - pos
     comp_min = jnp.full((n,), INF, jnp.int32).at[comp_of].min(pos)
     comp_max = jnp.full((n,), -1, jnp.int32).at[comp_of].max(pos)

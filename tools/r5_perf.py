@@ -179,29 +179,39 @@ def main():
             "match": bool(int(host) == int(dev)),
         }
         save()
-        ns = 100_000 if cpu else 1_000_000
-        big = _gen_csr(ns, ns * 8, seed=2)
-        tri = triangle_count_sparse_device(big)  # compile+run
-        t0 = time.perf_counter()
-        tri = triangle_count_sparse_device(big)
-        dt = time.perf_counter() - t0
-        RES["D_triangles"]["sparse_1m"] = {
-            "n": ns, "nnz": int(big.nnz), "triangles": int(tri),
-            "s": round(dt, 3), "medges_per_s": round(big.nnz / dt / 1e6, 2),
-        }
-        print(f"D sparse n={ns}: {dt*1e3:.0f} ms", flush=True)
-        save()
-        w = jaccard_weights_sparse_device(big)
-        sync_arr(w)
-        t0 = time.perf_counter()
-        w = jaccard_weights_sparse_device(big)
-        sync_arr(w)
-        dt = time.perf_counter() - t0
-        RES["D_triangles"]["jaccard_sparse_1m"] = {
-            "s": round(dt, 3), "medges_per_s": round(big.nnz / dt / 1e6, 2)
-        }
-        save()
-        print(f"D jaccard n={ns}: {dt*1e3:.0f} ms", flush=True)
+        # ascend sizes cautiously: the first r5 batch CRASHED the TPU
+        # worker at n=1M (16M nnz); each successful size is saved before
+        # the next attempt, and config.sparse_common_device_max_nnz is
+        # raised only to the largest measured-good nnz.
+        sizes = (100_000,) if cpu else (250_000, 500_000)
+        for ns in sizes:
+            big = _gen_csr(ns, ns * 8, seed=2)
+            key = f"sparse_{ns//1000}k"
+            RES["D_triangles"][key] = {"status": "launched", "nnz": int(big.nnz)}
+            save()
+            tri = triangle_count_sparse_device(big)  # compile+run
+            t0 = time.perf_counter()
+            tri = triangle_count_sparse_device(big)
+            dt = time.perf_counter() - t0
+            RES["D_triangles"][key] = {
+                "status": "ok", "n": ns, "nnz": int(big.nnz),
+                "triangles": int(tri), "s": round(dt, 3),
+                "medges_per_s": round(big.nnz / dt / 1e6, 2),
+            }
+            print(f"D sparse n={ns}: {dt*1e3:.0f} ms", flush=True)
+            save()
+            w = jaccard_weights_sparse_device(big)
+            sync_arr(w)
+            t0 = time.perf_counter()
+            w = jaccard_weights_sparse_device(big)
+            sync_arr(w)
+            dt = time.perf_counter() - t0
+            RES["D_triangles"][key]["jaccard_s"] = round(dt, 3)
+            RES["D_triangles"][key]["jaccard_medges_per_s"] = round(
+                big.nnz / dt / 1e6, 2
+            )
+            save()
+            print(f"D jaccard n={ns}: {dt*1e3:.0f} ms", flush=True)
 
     # ---- E: device-RCM size ascent (FAULT RISK — LAST) ---------------------
     if "E" in sections:
