@@ -259,6 +259,31 @@ def main():
             save()
         set_config(rcm_device_max_n=1_000_000)
 
+    # ---- F: sparse triangles at 16M nnz (the size that faulted pre-fix;
+    # run LAST, after everything else is saved) -----------------------------
+    if "F" in sections:
+        from sparsebase_tpu.ops.feature.sparse_common import (
+            triangle_count_sparse_device as _tc,
+        )
+        sys.path.insert(0, str(REPO / "tools"))
+        from bench_triangles import _gen_csr as _g
+
+        ns = 200_000 if cpu else 1_000_000
+        big = _g(ns, ns * 8, seed=3)
+        RES["F_sparse_1m"] = {"status": "launched", "nnz": int(big.nnz)}
+        save()
+        tri = _tc(big)
+        t0 = time.perf_counter()
+        tri = _tc(big)
+        dt = time.perf_counter() - t0
+        RES["F_sparse_1m"] = {
+            "status": "ok", "n": ns, "nnz": int(big.nnz),
+            "triangles": int(tri), "s": round(dt, 3),
+            "medges_per_s": round(big.nnz / dt / 1e6, 2),
+        }
+        save()
+        print(f"F sparse n={ns}: {dt*1e3:.0f} ms", flush=True)
+
     print(json.dumps(RES, indent=1))
 
 
