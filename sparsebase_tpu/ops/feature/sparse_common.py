@@ -40,7 +40,9 @@ import functools
 import numpy as np
 
 E_CHUNK = 4096  # edges per block
-C_CHUNK = 256  # candidate positions per inner chunk
+C_CHUNK = 64  # candidate positions per inner chunk (64: a 4096x64 tile
+# is still fully vectorized, and low-degree graphs skip 4x the wasted
+# positions a 256-wide tile pays at avg degree ~16 - r5 chip D section)
 GROUP_BLOCKS = 32  # blocks per device launch (bounds device time/launch)
 
 
