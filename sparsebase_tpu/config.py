@@ -45,10 +45,10 @@ class Config:
     # Same pattern for the chunked owner-window triangle/Jaccard kernel
     # (ops/feature/sparse_common.py): the single-program sweep crashed
     # the TPU worker at 4M nnz; after the host-chunked-launch fix the
-    # chip ascent measured 4M and 8M nnz OK (n=250k/500k,
+    # chip ascent measured 4M, 8M and 16M nnz OK (n=250k/500k/1M,
     # R5_TPU.json D). Beyond the limit the feature entry points fall
     # back to the host kernels instead of faulting.
-    sparse_common_device_max_nnz: int = 8_000_000
+    sparse_common_device_max_nnz: int = 16_000_000
     sort_on_construction: bool = True  # CSR/COO invariant repair in .new()
 
     # logging
