@@ -257,7 +257,7 @@ def main():
             }
             print(f"E n={nv}: OK in {dt:.1f}s", flush=True)
             save()
-        set_config(rcm_device_max_n=1_000_000)
+        set_config(rcm_device_max_n=2_000_000)
 
     # ---- F: sparse triangles at 16M nnz (the size that faulted pre-fix;
     # run LAST, after everything else is saved) -----------------------------
