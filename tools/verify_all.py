@@ -58,6 +58,17 @@ def main():
         [py, "tools/probe_dia.py", "0.3", "--cpu"],
         env={"R4_TPU_OUT": "/tmp/r4_dryrun.json"},
     )
+    run(
+        "r5 chip suite CPU dry-run",
+        [py, "tools/r5_perf.py", "ABCDEF", "0.4", "--cpu"],
+        env={"R5_TPU_OUT": "/tmp/r5_dryrun.json"},
+    )
+    run(
+        "visualizer CLI",
+        [py, "-m", "sparsebase_tpu.utils.visualizer",
+         "/root/reference/examples/data/ash958.mtx", "/tmp/viz_check.html",
+         "--orderings", "rcm", "--parts", "16"],
+    )
     print("ALL LOCAL VALIDATION GREEN", flush=True)
 
 
