@@ -15,7 +15,7 @@ checks exact parity with phase 1 and records the cross-process
 collective step times next to the single-process ones (the sanity check
 SCALING_r03's projection constants never had).
 
-Writes MULTIPROC_r04.json. Usage: python tools/multiproc_dcn.py
+Writes MULTIPROC_r05.json. Usage: python tools/multiproc_dcn.py
 (child mode: --rank R --port P, spawned internally).
 """
 
@@ -34,7 +34,7 @@ import numpy as np
 N = int(os.environ.get("MULTIPROC_N", 4096))
 AVG_DEG = 8
 SEED = 42
-OUT = REPO / "MULTIPROC_r04.json"
+OUT = REPO / "MULTIPROC_r05.json"
 
 
 def make_graph():
