@@ -100,7 +100,8 @@ def _row_sums_blocked(prod, indptr, n, block: int = 512):
 def _permute_and_spmv(
     coo: COO, indptr, degrees, ro, x, *, blocked_reduce: bool = False,
     perm=None, boundary_diff: bool = True, fused_scatter: bool = False,
-    post_sort_reduce: bool = False,
+    post_sort_reduce: bool = False, unique_hint: bool = False,
+    perm_for_counts=None,
 ):
     """Shared pipeline tail: given an inverse permutation ``ro`` (and the
     CSR structure of the input), apply the symmetric permutation with the
@@ -157,8 +158,17 @@ def _permute_and_spmv(
     # -- new indptr (+ y write when fused) -----------------------------------
     if perm is not None:
         counts_new = degrees[perm]
+    elif perm_for_counts is not None:
+        # counts via gather on the forward permutation (one n-gather in
+        # place of one n-scatter; the y write stays a scatter)
+        counts_new = degrees[perm_for_counts]
     elif not (fused_scatter and perm is None and not post_sort_reduce):
-        counts_new = jnp.zeros((n,), indptr.dtype).at[ro].set(degrees)
+        if unique_hint:
+            counts_new = jnp.zeros((n,), indptr.dtype).at[ro].set(
+                degrees, unique_indices=True, mode="promise_in_bounds"
+            )
+        else:
+            counts_new = jnp.zeros((n,), indptr.dtype).at[ro].set(degrees)
 
     # -- SpMV, reduced per row (order-independent within a row) --------------
     if post_sort_reduce:
@@ -205,6 +215,13 @@ def _permute_and_spmv(
             prod.dtype
         )
         counts_out = packed[:, 1].astype(indptr.dtype)
+    elif unique_hint:
+        # ro is a permutation: the scatter is collision-free by
+        # construction, so tell XLA (unique_indices + in-bounds promise)
+        y = jnp.zeros((n,), prod.dtype).at[ro].set(
+            y_old, unique_indices=True, mode="promise_in_bounds"
+        )
+        counts_out = counts_new
     else:
         y = jnp.zeros((n,), prod.dtype).at[ro].set(y_old)  # y[ro[i]] = (A@x)[i]
         counts_out = counts_new

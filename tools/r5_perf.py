@@ -98,13 +98,16 @@ def main():
 
     # ---- B: y-branch variants ---------------------------------------------
     def pipeline_with(**kw):
+        cg = kw.pop("counts_gather", False)
+
         def run(coo, x):
             indptr = indptr_from_sorted_rows_blocked(coo.row, n, nnz)
             degrees = indptr[1:] - indptr[:-1]
             idt = coo.row.dtype
             perm = jnp.argsort(degrees, stable=True)
             ro = jnp.zeros((n,), idt).at[perm].set(jnp.arange(n, dtype=idt))
-            return _permute_and_spmv(coo, indptr, degrees, ro, x, **kw)
+            extra = {"perm_for_counts": perm} if cg else {}
+            return _permute_and_spmv(coo, indptr, degrees, ro, x, **kw, **extra)
 
         return jax.jit(run)
 
@@ -114,6 +117,10 @@ def main():
         "fused_scatter": dict(boundary_diff=False, fused_scatter=True),
         "diff+fused": dict(boundary_diff=True, fused_scatter=True),
         "post_sort": dict(post_sort_reduce=True),
+        "diff+unique": dict(boundary_diff=True, unique_hint=True),
+        "diff+counts_gather": dict(boundary_diff=True, counts_gather=True),
+        "diff+unique+cg": dict(boundary_diff=True, unique_hint=True,
+                               counts_gather=True),
     }
     if "B" in sections:
         RES["B_variants"] = {}
