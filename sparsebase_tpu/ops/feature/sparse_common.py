@@ -43,11 +43,14 @@ E_CHUNK = 4096  # edges per block
 C_CHUNK = 64  # candidate positions per inner chunk (64: a 4096x64 tile
 # is still fully vectorized, and low-degree graphs skip 4x the wasted
 # positions a 256-wide tile pays at avg degree ~16 - r5 chip D section)
-GROUP_BLOCKS = 32  # blocks per device launch (bounds device time/launch)
+GROUP_BLOCKS = 96  # blocks per device launch: bounds device time/launch
+# (~1.4 s at avg degree 16 - the watchdog faults at ~40 s programs, ~4 s
+# passes; gb sweep R5_TPU.json G: 32/96/256 -> 18.9/17.8/17.4 s at 4M
+# nnz - 96 takes most of the launch-overhead win inside the safe zone)
 
 
 @functools.lru_cache(maxsize=None)
-def _group_runner(n, nnz, wmax, mode, nnz_pad):
+def _group_runner(n, nnz, wmax, mode, nnz_pad, group_blocks=GROUP_BLOCKS):
     import jax
     import jax.numpy as jnp
 
@@ -120,41 +123,43 @@ def _group_runner(n, nnz, wmax, mode, nnz_pad):
             return out, wrapped, approx
 
         init = (out, jnp.int32(0), jnp.float32(0.0))
-        out, wrapped, approx = jax.lax.fori_loop(0, GROUP_BLOCKS, block, init)
+        out, wrapped, approx = jax.lax.fori_loop(0, group_blocks, block, init)
         return out, wrapped, approx
 
     donate = (3,) if mode == "jaccard" else ()
     return jax.jit(group, donate_argnums=donate)
 
 
-def _sweep(csr, mode):
+def _sweep(csr, mode, group_blocks=None):
     """Host-chunked sweep over all edge blocks; returns
     (out, wrapped_sum, approx_sum)."""
     import jax
     import jax.numpy as jnp
 
+    gb = int(group_blocks or GROUP_BLOCKS)
     indptr = csr.indptr.astype(jnp.int32)
     indices = csr.indices.astype(jnp.int32)
     row = csr.row_of_nnz().astype(jnp.int32)
     deg = indptr[1:] - indptr[:-1]
     wmax = max(int(np.asarray(deg.max())) if csr.nrows else 1, 1)
-    group_span = GROUP_BLOCKS * E_CHUNK
+    group_span = gb * E_CHUNK
     n_groups = max(-(-csr.nnz // group_span), 1)
     nnz_pad = n_groups * group_span
-    run = _group_runner(csr.nrows, csr.nnz, wmax, mode, nnz_pad)
+    run = _group_runner(csr.nrows, csr.nnz, wmax, mode, nnz_pad, gb)
     out = jnp.zeros((nnz_pad if mode == "jaccard" else 1,), jnp.int32)
     wrapped = 0
     approx = 0.0
     for g in range(n_groups):
         out, w, a = run(indptr, indices, row, out,
-                        jnp.int32(g * GROUP_BLOCKS))
+                        jnp.int32(g * gb))
         if mode == "triangles":
             wrapped = (wrapped + int(np.asarray(jax.device_get(w)))) % (1 << 32)
             approx += float(np.asarray(jax.device_get(a)))
     return out, wrapped, approx
 
 
-def triangle_count_sparse_device(csr, directed: bool = False) -> int:
+def triangle_count_sparse_device(csr, directed: bool = False,
+                                 group_blocks: int | None = None) -> int:
     """Undirected triangle count on one chip without densification.
 
     Directed 3-cycles have no per-edge common-neighbor form, so
@@ -167,7 +172,7 @@ def triangle_count_sparse_device(csr, directed: bool = False) -> int:
 
     if csr.nnz == 0:
         return 0
-    _, wrapped, approx = _sweep(csr, "triangles")
+    _, wrapped, approx = _sweep(csr, "triangles", group_blocks=group_blocks)
     wrapped = wrapped if wrapped < (1 << 31) else wrapped - (1 << 32)
     total = combine_wrapped(int(wrapped), float(approx))
     return total // 6

@@ -291,6 +291,30 @@ def main():
         save()
         print(f"F sparse n={ns}: {dt*1e3:.0f} ms", flush=True)
 
+    # ---- G: GROUP_BLOCKS sweep for the sparse tier ------------------------
+    if "G" in sections:
+        from sparsebase_tpu.ops.feature.sparse_common import (
+            triangle_count_sparse_device as _tcg,
+        )
+        sys.path.insert(0, str(REPO / "tools"))
+        from bench_triangles import _gen_csr as _gg
+
+        ns = 100_000 if cpu else 250_000
+        big = _gg(ns, ns * 8, seed=2)
+        RES["G_group_blocks"] = {}
+        for gb in (32, 96, 256):
+            tri = _tcg(big, group_blocks=gb)  # compile+run
+            t0 = time.perf_counter()
+            tri = _tcg(big, group_blocks=gb)
+            dt = time.perf_counter() - t0
+            RES["G_group_blocks"][str(gb)] = {
+                "s": round(dt, 2),
+                "medges_per_s": round(big.nnz / dt / 1e6, 2),
+                "triangles": int(tri),
+            }
+            print(f"G gb={gb}: {dt:.1f}s", flush=True)
+            save()
+
     print(json.dumps(RES, indent=1))
 
 
