@@ -31,7 +31,12 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 OUT = Path(os.environ.get("R5_TPU_OUT", REPO / "R5_TPU.json"))
-RES = {}
+# merge into an existing artifact instead of clobbering other sections
+# (each batch runs a subset of sections; round-5 lesson)
+try:
+    RES = json.loads(OUT.read_text())
+except Exception:
+    RES = {}
 
 
 def save():
